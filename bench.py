@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: wall-clock to converged GS equilibrium at 257x257.
+
+North-star metric (BASELINE.json): converged Grad-Shafranov solve at 257^2,
+compared against the NumPy reference-twin solver running the *same*
+multigrid-Picard algorithm on this host — the target is >= 20x NumPy speed at
+reference-tolerance accuracy.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <jax_ms>, "unit": "ms", "vs_baseline": <speedup>}
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.core.config import (
+        Coil, Dimensions, PhysicsParams, ReactorConfig, SolverParams,
+    )
+    from scpn_fusion_tpu.core.grid import Grid
+    from scpn_fusion_tpu.models.equilibrium import solve_equilibrium
+    from scpn_fusion_tpu.utils import npref
+
+    n = 257
+    coils = (
+        Coil(r=3.5, z=4.8, current=-1.0), Coil(r=8.0, z=4.8, current=4.0),
+        Coil(r=10.8, z=0.0, current=6.0), Coil(r=8.0, z=-4.8, current=4.0),
+        Coil(r=3.5, z=-4.8, current=-1.0), Coil(r=10.8, z=2.5, current=3.0),
+    )
+    cfg = ReactorConfig(
+        reactor_name="bench-257",
+        grid_resolution=(n, n),
+        dimensions=Dimensions(R_min=2.0, R_max=10.0, Z_min=-4.0, Z_max=4.0),
+        coils=coils,
+        physics=PhysicsParams(plasma_current_target=15.0, vacuum_permeability=1.0),
+        solver=SolverParams(
+            max_iterations=600, convergence_threshold=1e-4,
+            relaxation_factor=0.1, solver_method="multigrid",
+        ),
+    )
+
+    # ── JAX (device) solve: compile once, then time warm runs ──
+    res = solve_equilibrium(cfg, dtype=jnp.float32)
+    jax.block_until_ready(res.psi)
+    assert bool(res.converged), "bench solve did not converge"
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solve_equilibrium(cfg, dtype=jnp.float32)
+        jax.block_until_ready(res.psi)
+        times.append(time.perf_counter() - t0)
+    jax_ms = 1e3 * min(times)
+
+    # ── NumPy twin (same algorithm, this host) ──
+    grid = Grid.from_config(cfg, dtype=np.float64)
+    r_1d = np.asarray(grid.R, dtype=np.float64)
+    z_1d = np.asarray(grid.Z, dtype=np.float64)
+    from scpn_fusion_tpu.models.equilibrium.vacuum import vacuum_psi_from_config
+    psi_bc = np.asarray(
+        vacuum_psi_from_config(Grid.from_config(cfg, dtype=np.float64), cfg),
+        dtype=np.float64)
+    t0 = time.perf_counter()
+    np_res = npref.solve_equilibrium_np(
+        r_1d, z_1d, psi_bc, 15.0, mu0=1.0,
+        max_iter=600, tol=1e-4, alpha=0.1)
+    np_ms = 1e3 * (time.perf_counter() - t0)
+
+    # Accuracy cross-check: span-relative deviation between lanes.
+    psi_j = np.asarray(res.psi, dtype=np.float64)
+    span = np_res["psi"].max() - np_res["psi"].min()
+    span_rel = float(np.max(np.abs(psi_j - np_res["psi"])) / span)
+
+    speedup = np_ms / jax_ms
+    out = {
+        "metric": "gs_multigrid_converged_257_wall_ms",
+        "value": round(jax_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(speedup, 2),
+    }
+    print(json.dumps(out))
+    print(f"# numpy twin: {np_ms:.1f} ms (converged={np_res['converged']}, "
+          f"iters={np_res['iterations']}); jax converged in "
+          f"{int(res.iterations)} iters; span-rel deviation {span_rel:.2e}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

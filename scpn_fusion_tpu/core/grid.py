@@ -1,0 +1,103 @@
+"""Computational (R, Z) grid as an immutable pytree-friendly container.
+
+Equivalent of the reference's ``FusionKernel.initialize_grid``
+(``fusion_kernel.py:158-200``) but decoupled from any solver class: a ``Grid``
+is constructed once per geometry and threaded through pure solver functions.
+The coordinate arrays are plain ``jnp`` arrays; the scalars (spacings, shape)
+are Python floats/ints so they stay *static* under ``jax.jit``.
+
+Array orientation convention matches the reference: 2D fields are indexed
+``(Z, R)`` — axis 0 is Z, axis 1 is R.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from scpn_fusion_tpu.core.config import Dimensions, ReactorConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class Grid:
+    """Uniform rectangular (R, Z) mesh.
+
+    Attributes
+    ----------
+    R, Z : 1D arrays of length NR / NZ.
+    RR, ZZ : 2D meshgrids of shape (NZ, NR).
+    dR, dZ : grid spacings (static Python floats).
+    """
+
+    NR: int
+    NZ: int
+    R_min: float
+    R_max: float
+    Z_min: float
+    Z_max: float
+    dtype: np.dtype = np.dtype(np.float32)
+
+    def __hash__(self) -> int:
+        return hash((self.NR, self.NZ, self.R_min, self.R_max,
+                     self.Z_min, self.Z_max, str(self.dtype)))
+
+    @property
+    def dR(self) -> float:
+        return (self.R_max - self.R_min) / (self.NR - 1)
+
+    @property
+    def dZ(self) -> float:
+        return (self.Z_max - self.Z_min) / (self.NZ - 1)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.NZ, self.NR)
+
+    # Coordinate arrays are derived (not stored) so Grid stays hashable and
+    # cheap to pass as a jit-static argument; XLA constant-folds them.
+    @property
+    def R(self) -> jnp.ndarray:
+        return jnp.linspace(self.R_min, self.R_max, self.NR, dtype=self.dtype)
+
+    @property
+    def Z(self) -> jnp.ndarray:
+        return jnp.linspace(self.Z_min, self.Z_max, self.NZ, dtype=self.dtype)
+
+    @property
+    def RR(self) -> jnp.ndarray:
+        return jnp.broadcast_to(self.R[None, :], (self.NZ, self.NR))
+
+    @property
+    def ZZ(self) -> jnp.ndarray:
+        return jnp.broadcast_to(self.Z[:, None], (self.NZ, self.NR))
+
+    def zeros(self) -> jnp.ndarray:
+        return jnp.zeros((self.NZ, self.NR), dtype=self.dtype)
+
+    @classmethod
+    def from_config(cls, cfg: ReactorConfig, dtype=np.float32) -> "Grid":
+        d: Dimensions = cfg.dimensions
+        return cls(
+            NR=cfg.NR, NZ=cfg.NZ,
+            R_min=float(d.R_min), R_max=float(d.R_max),
+            Z_min=float(d.Z_min), Z_max=float(d.Z_max),
+            dtype=np.dtype(dtype),
+        )
+
+    @classmethod
+    def from_bounds(
+        cls,
+        nr: int,
+        nz: int,
+        r_min: float,
+        r_max: float,
+        z_min: float,
+        z_max: float,
+        dtype=np.float32,
+    ) -> "Grid":
+        return cls(NR=int(nr), NZ=int(nz),
+                   R_min=float(r_min), R_max=float(r_max),
+                   Z_min=float(z_min), Z_max=float(z_max),
+                   dtype=np.dtype(dtype))

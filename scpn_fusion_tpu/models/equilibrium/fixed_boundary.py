@@ -1,0 +1,375 @@
+"""Fixed-boundary Grad-Shafranov equilibrium: the compiled Picard solver.
+
+This is the TPU-native redesign of the reference's host-driven Picard loop
+(``fusion_kernel_newton_solver.py:390-615``): the *entire* nonlinear solve —
+topology analysis, profile/source update, elliptic sweeps (SOR / Jacobi /
+multigrid V-cycle), under-relaxation, Anderson mixing, divergence guard with
+best-state tracking, and the dual convergence criterion — runs inside ONE
+``jax.lax.while_loop`` under ``jit``.  The host participates only at entry
+and exit (the design the reference itself validated on GPU in
+``jax_predictive_forward_compiled.py:12-27``: the eager version is
+host-dispatch-bound).
+
+Semantics parity with the reference:
+* seed plasma: normalised Gaussian J + 50 Jacobi pre-sweeps (``:384-410``)
+* zero-current short-circuit: vacuum field is the exact answer (``:445-465``)
+* per-iteration: axis/X-point -> J_phi (Ip-renormalised) -> elliptic step ->
+  under-relaxation ``psi <- (1-a) psi + a psi_new``
+* Anderson acceleration every 3rd step with Tikhonov-regularised LSQ mixing
+* convergence: ``mean|dpsi| < tol`` and optionally GS-residual RMS < gs_tol
+* divergence: non-finite update ends the loop; the best-seen state is returned
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scpn_fusion_tpu.core.config import ReactorConfig
+from scpn_fusion_tpu.core.grid import Grid
+from scpn_fusion_tpu.models.equilibrium.profiles import (
+    ProfileCoeffs,
+    plasma_current_density,
+    profile_coeffs_from_physics,
+)
+from scpn_fusion_tpu.models.equilibrium.topology import analyze_topology, compute_b_field
+from scpn_fusion_tpu.models.equilibrium.vacuum import vacuum_psi_from_config
+from scpn_fusion_tpu.ops.multigrid import _vcycle_impl
+from scpn_fusion_tpu.ops.stencil import (
+    apply_dirichlet,
+    gs_residual_rms,
+    jacobi_step,
+    jacobi_sweeps,
+    sor_step,
+)
+
+
+class EquilibriumResult(NamedTuple):
+    """Result pytree (contract mirrors the reference's result dict
+    ``fusion_kernel_newton_solver.py:604-615``)."""
+
+    psi: jnp.ndarray
+    j_phi: jnp.ndarray
+    b_r: jnp.ndarray
+    b_z: jnp.ndarray
+    converged: jnp.ndarray          # bool scalar
+    iterations: jnp.ndarray         # int32 scalar
+    residual: jnp.ndarray           # best update-diff seen
+    gs_residual: jnp.ndarray        # final GS-residual RMS
+    gs_residual_best: jnp.ndarray
+    residual_history: jnp.ndarray   # (max_iter,), NaN-padded
+    gs_residual_history: jnp.ndarray
+
+
+class _Carry(NamedTuple):
+    k: jnp.ndarray
+    psi: jnp.ndarray
+    diff: jnp.ndarray
+    gs_res: jnp.ndarray
+    converged: jnp.ndarray
+    best_diff: jnp.ndarray
+    best_psi: jnp.ndarray
+    gs_best: jnp.ndarray
+    res_hist: jnp.ndarray
+    gs_hist: jnp.ndarray
+    # Anderson rolling buffers (newest last); zero-size when disabled.
+    psi_buf: jnp.ndarray   # (m, N)
+    f_buf: jnp.ndarray     # (m, N)
+    n_valid: jnp.ndarray
+
+
+def _anderson_mix(
+    psi_buf: jnp.ndarray,
+    f_buf: jnp.ndarray,
+    n_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Tikhonov-regularised Anderson mixing over fixed-size history buffers.
+
+    Port of the reference algorithm (``fusion_kernel_iterative_solver.py:
+    248-314``) with a static buffer: invalid (not-yet-filled) history rows are
+    masked to zero, and the 1e-10 Tikhonov term keeps the normal equations
+    well-posed so masked rows contribute ~zero weight.
+    """
+    m = psi_buf.shape[0]
+    idx = jnp.arange(m)
+    valid = idx >= (m - n_valid)                       # newest entries are valid
+    f_masked = jnp.where(valid[:, None], f_buf, 0.0)
+
+    d_f = f_masked[1:, :] - f_masked[:-1, :]           # (m-1, N)
+    pair_valid = idx[:-1] >= (m - n_valid)             # both rows valid
+    d_f = jnp.where(pair_valid[:, None], d_f, 0.0)
+
+    rhs = f_masked[-1, :]
+    gram = d_f @ d_f.T + 1e-10 * jnp.eye(m - 1, dtype=f_buf.dtype)
+    gamma = jnp.linalg.solve(gram, d_f @ rhs)
+
+    alpha = jnp.zeros((m,), dtype=f_buf.dtype)
+    alpha = alpha.at[-1].set(1.0 - jnp.sum(gamma))
+    alpha = alpha.at[:-1].add(-gamma)
+    alpha = jnp.where(valid, alpha, 0.0)
+    alpha_sum = jnp.sum(alpha)
+    safe = jnp.abs(alpha_sum) >= 1e-12
+    alpha = jnp.where(safe, alpha / jnp.where(safe, alpha_sum, 1.0), 0.0)
+
+    mixed = alpha @ psi_buf
+    # Fall back to the newest iterate if the mix was degenerate.
+    return jnp.where(safe, mixed, psi_buf[-1, :])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("grid", "solver_method", "max_iter", "h_mode",
+                     "inner_sweeps", "anderson_m", "mu0", "use_gs_criterion"),
+)
+def _solve_fixed_boundary(
+    grid: Grid,
+    psi0: jnp.ndarray,
+    psi_bc: jnp.ndarray,
+    i_target: jnp.ndarray,
+    p_coeffs: ProfileCoeffs,
+    ff_coeffs: ProfileCoeffs,
+    tol: jnp.ndarray,
+    gs_tol: jnp.ndarray,
+    alpha_relax: jnp.ndarray,
+    omega: jnp.ndarray,
+    *,
+    solver_method: str,
+    max_iter: int,
+    h_mode: bool,
+    inner_sweeps: int,
+    anderson_m: int,
+    mu0: float,
+    use_gs_criterion: bool,
+) -> EquilibriumResult:
+    r_1d = grid.R
+    rr = grid.RR
+    zz = grid.ZZ
+    d_r, d_z = grid.dR, grid.dZ
+    n_flat = grid.NZ * grid.NR
+    dtype = psi0.dtype
+
+    use_anderson = solver_method == "anderson"
+    m_hist = anderson_m if use_anderson else 1
+
+    # ── seed plasma: normalised Gaussian J + 50 Jacobi pre-sweeps ──
+    r_center = 0.5 * (grid.R_min + grid.R_max)
+    dist_sq = (rr - r_center) ** 2 + zz**2
+    j_seed = jnp.exp(-dist_sq / 2.0)
+    i_seed = jnp.sum(j_seed) * d_r * d_z
+    j_seed = j_seed * (i_target / jnp.maximum(i_seed, 1e-30))
+    seed_source = -mu0 * rr * j_seed
+    psi = jacobi_sweeps(psi0, seed_source, r_1d, d_r, d_z, 50)
+
+    def elliptic_step(psi_in: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+        if solver_method == "jacobi":
+            out = psi_in
+            for _ in range(inner_sweeps):
+                out = jacobi_step(out, source, r_1d, d_r, d_z)
+        elif solver_method == "multigrid":
+            out = _vcycle_impl(psi_in, source, r_1d, d_r, d_z,
+                               1.0, 3, 3, 5, 50)
+        else:  # "sor" | "anderson"
+            out = psi_in
+            for _ in range(inner_sweeps):
+                out = sor_step(out, source, r_1d, d_r, d_z, omega)
+        return apply_dirichlet(out, psi_bc)
+
+    def body(c: _Carry) -> _Carry:
+        topo = analyze_topology(c.psi, zz, d_r, d_z, grid.Z_min)
+        j_phi = plasma_current_density(
+            c.psi, topo.psi_axis, topo.psi_boundary, rr,
+            h_mode=h_mode, p_coeffs=p_coeffs, ff_coeffs=ff_coeffs,
+            mu0=mu0, i_target=i_target, d_r=d_r, d_z=d_z,
+        )
+        source = -mu0 * rr * j_phi
+        psi_new = elliptic_step(c.psi, source)
+
+        diff = jnp.mean(jnp.abs(psi_new - c.psi))
+        psi_relaxed = (1.0 - alpha_relax) * c.psi + alpha_relax * psi_new
+
+        if use_anderson:
+            psi_buf = jnp.roll(c.psi_buf, -1, axis=0).at[-1].set(psi_relaxed.reshape(-1))
+            f_buf = jnp.roll(c.f_buf, -1, axis=0).at[-1].set(
+                (psi_new - psi_relaxed).reshape(-1))
+            n_valid = jnp.minimum(c.n_valid + 1, m_hist)
+
+            def do_mix(_):
+                mixed = _anderson_mix(psi_buf, f_buf, n_valid)
+                return apply_dirichlet(mixed.reshape(c.psi.shape), psi_bc)
+
+            psi_next = jax.lax.cond(
+                (n_valid >= 3) & (c.k % 3 == 0),
+                do_mix, lambda _: psi_relaxed, operand=None,
+            )
+        else:
+            psi_buf, f_buf, n_valid = c.psi_buf, c.f_buf, c.n_valid
+            psi_next = psi_relaxed
+
+        gs_res = gs_residual_rms(psi_next, source, r_1d, d_r, d_z)
+
+        improved = diff < c.best_diff
+        best_diff = jnp.where(improved, diff, c.best_diff)
+        best_psi = jnp.where(improved, psi_next, c.best_psi)
+        gs_best = jnp.minimum(gs_res, c.gs_best)
+
+        upd_ok = diff < tol
+        gs_ok = (gs_res < gs_tol) if use_gs_criterion else jnp.bool_(True)
+        converged = upd_ok & gs_ok
+
+        return _Carry(
+            k=c.k + 1,
+            psi=psi_next,
+            diff=diff,
+            gs_res=gs_res,
+            converged=converged,
+            best_diff=best_diff,
+            best_psi=best_psi,
+            gs_best=gs_best,
+            res_hist=c.res_hist.at[c.k].set(diff),
+            gs_hist=c.gs_hist.at[c.k].set(gs_res),
+            psi_buf=psi_buf,
+            f_buf=f_buf,
+            n_valid=n_valid,
+        )
+
+    def cond(c: _Carry) -> jnp.ndarray:
+        return (c.k < max_iter) & (~c.converged) & jnp.isfinite(c.diff)
+
+    init = _Carry(
+        k=jnp.int32(0),
+        psi=psi,
+        diff=jnp.asarray(1e30, dtype),  # finite sentinel: loop must start
+        gs_res=jnp.asarray(jnp.inf, dtype),
+        converged=jnp.bool_(False),
+        best_diff=jnp.asarray(jnp.inf, dtype),
+        best_psi=psi,
+        gs_best=jnp.asarray(jnp.inf, dtype),
+        res_hist=jnp.full((max_iter,), jnp.nan, dtype),
+        gs_hist=jnp.full((max_iter,), jnp.nan, dtype),
+        psi_buf=jnp.zeros((m_hist, n_flat), dtype),
+        f_buf=jnp.zeros((m_hist, n_flat), dtype),
+        n_valid=jnp.int32(0),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Divergence guard: if the last update went non-finite, return best state.
+    diverged = ~jnp.isfinite(final.diff)
+    psi_out = jnp.where(diverged, final.best_psi, final.psi)
+
+    # Recompute the consistent source/current for the returned psi.
+    topo = analyze_topology(psi_out, zz, d_r, d_z, grid.Z_min)
+    j_phi = plasma_current_density(
+        psi_out, topo.psi_axis, topo.psi_boundary, rr,
+        h_mode=h_mode, p_coeffs=p_coeffs, ff_coeffs=ff_coeffs,
+        mu0=mu0, i_target=i_target, d_r=d_r, d_z=d_z,
+    )
+    source = -mu0 * rr * j_phi
+    gs_final = gs_residual_rms(psi_out, source, r_1d, d_r, d_z)
+    b_r, b_z = compute_b_field(psi_out, rr, d_r, d_z)
+
+    return EquilibriumResult(
+        psi=psi_out,
+        j_phi=j_phi,
+        b_r=b_r,
+        b_z=b_z,
+        converged=final.converged & ~diverged,
+        iterations=final.k,
+        residual=final.best_diff,
+        gs_residual=gs_final,
+        gs_residual_best=jnp.minimum(final.gs_best, gs_final),
+        residual_history=final.res_hist,
+        gs_residual_history=final.gs_hist,
+    )
+
+
+def solve_equilibrium(
+    cfg: ReactorConfig,
+    grid: Grid | None = None,
+    *,
+    psi0: jnp.ndarray | None = None,
+    boundary_flux: jnp.ndarray | None = None,
+    preserve_initial_state: bool = False,
+    i_target: float | jnp.ndarray | None = None,
+    dtype=jnp.float32,
+) -> EquilibriumResult:
+    """Solve the fixed-boundary GS equilibrium for a reactor configuration.
+
+    Host-side wrapper: prepares the initial/boundary flux exactly like the
+    reference's ``_prepare_initial_flux`` (``fusion_kernel_iterative_solver
+    .py:412-451``), then dispatches into the single compiled solve.
+
+    Parameters
+    ----------
+    cfg : static reactor configuration (geometry + solver controls).
+    grid : optional pre-built grid (defaults to ``Grid.from_config``).
+    psi0 : optional initial flux (used with ``preserve_initial_state``).
+    boundary_flux : optional explicit Dirichlet boundary map, shape (NZ, NR).
+    i_target : overrides ``cfg.physics.plasma_current_target`` (traced —
+        differentiable without recompilation).
+    """
+    if grid is None:
+        grid = Grid.from_config(cfg, dtype=dtype)
+
+    i_t = cfg.physics.plasma_current_target if i_target is None else i_target
+    i_t = jnp.asarray(i_t, dtype)
+    mu0 = float(cfg.physics.vacuum_permeability)
+
+    # Zero-current short-circuit: vacuum field is the exact equilibrium.
+    if i_target is None and abs(cfg.physics.plasma_current_target) < 1e-12 \
+            and not preserve_initial_state:
+        psi_vac = vacuum_psi_from_config(grid, cfg).astype(dtype)
+        zeros = grid.zeros().astype(dtype)
+        b_r, b_z = compute_b_field(psi_vac, grid.RR, grid.dR, grid.dZ)
+        n = cfg.solver.max_iterations
+        return EquilibriumResult(
+            psi=psi_vac, j_phi=zeros, b_r=b_r, b_z=b_z,
+            converged=jnp.bool_(True), iterations=jnp.int32(0),
+            residual=jnp.asarray(0.0, dtype), gs_residual=jnp.asarray(0.0, dtype),
+            gs_residual_best=jnp.asarray(0.0, dtype),
+            residual_history=jnp.full((n,), jnp.nan, dtype),
+            gs_residual_history=jnp.full((n,), jnp.nan, dtype),
+        )
+
+    # Initial / boundary flux preparation.
+    if boundary_flux is not None:
+        psi_bc = jnp.asarray(boundary_flux, dtype)
+        if psi_bc.shape != grid.shape:
+            raise ValueError(
+                f"boundary_flux shape {psi_bc.shape} must match grid {grid.shape}")
+    elif preserve_initial_state and psi0 is not None:
+        psi_bc = jnp.asarray(psi0, dtype)
+    else:
+        psi_bc = vacuum_psi_from_config(grid, cfg).astype(dtype)
+
+    if preserve_initial_state and psi0 is not None:
+        psi_init = apply_dirichlet(jnp.asarray(psi0, dtype), psi_bc)
+    else:
+        psi_init = psi_bc
+
+    p_coeffs, ff_coeffs = profile_coeffs_from_physics(cfg.physics, dtype)
+    sol = cfg.solver
+
+    return _solve_fixed_boundary(
+        grid,
+        psi_init,
+        psi_bc,
+        i_t,
+        p_coeffs,
+        ff_coeffs,
+        jnp.asarray(sol.convergence_threshold, dtype),
+        jnp.asarray(sol.gs_residual_threshold
+                    if sol.gs_residual_threshold > 0 else jnp.inf, dtype),
+        jnp.asarray(sol.relaxation_factor, dtype),
+        jnp.asarray(sol.sor_omega, dtype),
+        solver_method=sol.solver_method,
+        max_iter=sol.max_iterations,
+        h_mode=cfg.physics.profile_mode == "h-mode",
+        inner_sweeps=sol.inner_sweeps,
+        anderson_m=sol.anderson_depth,
+        mu0=mu0,
+        use_gs_criterion=sol.gs_residual_threshold > 0,
+    )
