@@ -120,12 +120,7 @@ def _anderson_mix(
     return jnp.where(safe, mixed, psi_buf[-1, :])
 
 
-@partial(
-    jax.jit,
-    static_argnames=("grid", "solver_method", "max_iter", "h_mode",
-                     "inner_sweeps", "anderson_m", "mu0", "use_gs_criterion"),
-)
-def _solve_fixed_boundary(
+def solve_fixed_boundary_impl(
     grid: Grid,
     psi0: jnp.ndarray,
     psi_bc: jnp.ndarray,
@@ -144,6 +139,7 @@ def _solve_fixed_boundary(
     anderson_m: int,
     mu0: float,
     use_gs_criterion: bool,
+    use_pallas: bool = False,
 ) -> EquilibriumResult:
     r_1d = grid.R
     rr = grid.RR
@@ -171,11 +167,16 @@ def _solve_fixed_boundary(
                 out = jacobi_step(out, source, r_1d, d_r, d_z)
         elif solver_method == "multigrid":
             out = _vcycle_impl(psi_in, source, r_1d, d_r, d_z,
-                               1.0, 3, 3, 5, 50)
+                               1.0, 3, 3, 5, 50, use_pallas)
         else:  # "sor" | "anderson"
-            out = psi_in
-            for _ in range(inner_sweeps):
-                out = sor_step(out, source, r_1d, d_r, d_z, omega)
+            if use_pallas:
+                from scpn_fusion_tpu.ops.pallas_stencil import sor_sweeps_pallas
+                out = sor_sweeps_pallas(psi_in, source, r_1d, d_r, d_z,
+                                        omega, inner_sweeps, interpret=False)
+            else:
+                out = psi_in
+                for _ in range(inner_sweeps):
+                    out = sor_step(out, source, r_1d, d_r, d_z, omega)
         return apply_dirichlet(out, psi_bc)
 
     def body(c: _Carry) -> _Carry:
@@ -286,6 +287,14 @@ def _solve_fixed_boundary(
     )
 
 
+_solve_fixed_boundary = partial(
+    jax.jit,
+    static_argnames=("grid", "solver_method", "max_iter", "h_mode",
+                     "inner_sweeps", "anderson_m", "mu0", "use_gs_criterion",
+                     "use_pallas"),
+)(solve_fixed_boundary_impl)
+
+
 def solve_equilibrium(
     cfg: ReactorConfig,
     grid: Grid | None = None,
@@ -372,4 +381,5 @@ def solve_equilibrium(
         anderson_m=sol.anderson_depth,
         mu0=mu0,
         use_gs_criterion=sol.gs_residual_threshold > 0,
+        use_pallas=sol.use_pallas and jax.default_backend() == "tpu",
     )

@@ -22,44 +22,76 @@ import jax.numpy as jnp
 from scpn_fusion_tpu.ops.stencil import gs_residual, sor_step
 
 
+def _downsample_even(x: jnp.ndarray, nz_c: int, nr_c: int) -> jnp.ndarray:
+    """x[2i, 2j] without strided gathers: pad to even extent, reshape so the
+    even entries land on a plain (non-strided) index.
+
+    Strided slicing/scatter (``x[::2, ::2]``, ``.at[::2, ::2].set``) lowers to
+    catastrophically slow code on TPU (~1.8 ms per restrict+prolong pair at
+    257^2, measured); pad+reshape+index is layout-friendly and ~100x cheaper.
+    """
+    pad_z = 2 * nz_c - x.shape[0]
+    pad_r = 2 * nr_c - x.shape[1]
+    xp = jnp.pad(x, ((0, pad_z), (0, pad_r)))
+    return xp.reshape(nz_c, 2, nr_c, 2)[:, 0, :, 0]
+
+
 def restrict_full_weight(fine: jnp.ndarray) -> jnp.ndarray:
     """Full-weighting restriction (fine -> coarse, 9-point stencil).
 
     Boundary rows/columns are injected directly.  Coarse shape is
-    ``((nz+1)//2, (nr+1)//2)``.
+    ``((nz+1)//2, (nr+1)//2)``.  Implemented as a 3x3 weighted sum via
+    shifted slices followed by even-point downsampling — no strided memory
+    ops (see ``_downsample_even``).
     """
     nz_f, nr_f = fine.shape
     nz_c, nr_c = (nz_f + 1) // 2, (nr_f + 1) // 2
-    interior = (
-        4.0 * fine[2:-2:2, 2:-2:2]
-        + 2.0 * (fine[1:-3:2, 2:-2:2] + fine[3:-1:2, 2:-2:2]
-                 + fine[2:-2:2, 1:-3:2] + fine[2:-2:2, 3:-1:2])
-        + (fine[1:-3:2, 1:-3:2] + fine[1:-3:2, 3:-1:2]
-           + fine[3:-1:2, 1:-3:2] + fine[3:-1:2, 3:-1:2])
-    ) / 16.0
-    coarse = jnp.zeros((nz_c, nr_c), dtype=fine.dtype)
-    coarse = coarse.at[1:-1, 1:-1].set(interior)
-    coarse = coarse.at[0, :].set(fine[0, ::2][:nr_c])
-    coarse = coarse.at[-1, :].set(fine[-1, ::2][:nr_c])
-    coarse = coarse.at[:, 0].set(fine[::2, 0][:nz_c])
-    coarse = coarse.at[:, -1].set(fine[::2, -1][:nz_c])
-    return coarse
+
+    # 9-point full weighting of the interior, evaluated everywhere via pad.
+    fp = jnp.pad(fine, 1)
+    c = fp[1:-1, 1:-1]
+    n_ = fp[2:, 1:-1]
+    s_ = fp[:-2, 1:-1]
+    e_ = fp[1:-1, 2:]
+    w_ = fp[1:-1, :-2]
+    ne = fp[2:, 2:]
+    nw = fp[2:, :-2]
+    se = fp[:-2, 2:]
+    sw = fp[:-2, :-2]
+    weighted = (4.0 * c + 2.0 * (n_ + s_ + e_ + w_) + (ne + nw + se + sw)) / 16.0
+
+    c_int = _downsample_even(weighted, nz_c, nr_c)
+    c_inj = _downsample_even(fine, nz_c, nr_c)
+
+    # Boundary ring: direct injection; interior: full weighting.
+    iz = jax.lax.broadcasted_iota(jnp.int32, (nz_c, nr_c), 0)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (nz_c, nr_c), 1)
+    ring = (iz == 0) | (iz == nz_c - 1) | (ir == 0) | (ir == nr_c - 1)
+    return jnp.where(ring, c_inj, c_int)
 
 
 def prolongate_bilinear(coarse: jnp.ndarray, nz_f: int, nr_f: int) -> jnp.ndarray:
-    """Bilinear prolongation (coarse -> fine) for 2^k+1-compatible grids."""
-    fine = jnp.zeros((nz_f, nr_f), dtype=coarse.dtype)
-    # Coincident points (even rows, even cols)
-    fine = fine.at[::2, ::2].set(coarse)
-    # Horizontal midpoints (even rows, odd cols)
-    fine = fine.at[::2, 1::2].set(0.5 * (coarse[:, :-1] + coarse[:, 1:]))
-    # Vertical midpoints (odd rows, even cols)
-    fine = fine.at[1::2, ::2].set(0.5 * (coarse[:-1, :] + coarse[1:, :]))
-    # Centre points (odd rows, odd cols)
-    fine = fine.at[1::2, 1::2].set(
-        0.25 * (coarse[:-1, :-1] + coarse[1:, :-1] + coarse[:-1, 1:] + coarse[1:, 1:])
-    )
-    return fine
+    """Bilinear prolongation (coarse -> fine) for 2^k+1-compatible grids.
+
+    Interleaves the four phase planes (coincident / horizontal-mid /
+    vertical-mid / centre) via stack+reshape instead of strided scatter.
+    """
+    c = coarse
+    c_r = jnp.pad(c[:, 1:], ((0, 0), (0, 1)))      # right neighbour (zero past edge)
+    c_d = jnp.pad(c[1:, :], ((0, 1), (0, 0)))      # down neighbour
+    c_dr = jnp.pad(c[1:, 1:], ((0, 1), (0, 1)))    # down-right
+
+    p00 = c
+    p01 = 0.5 * (c + c_r)
+    p10 = 0.5 * (c + c_d)
+    p11 = 0.25 * (c + c_r + c_d + c_dr)
+
+    # (kc, 2, kc, 2) -> (2kc, 2kc): [..., 0, ..., 0] = p00 etc.
+    row0 = jnp.stack([p00, p01], axis=-1)          # (kc, kc, 2)
+    row1 = jnp.stack([p10, p11], axis=-1)
+    t = jnp.stack([row0, row1], axis=1)            # (kc, 2, kc, 2)
+    fine_full = t.reshape(2 * c.shape[0], 2 * c.shape[1])
+    return fine_full[:nz_f, :nr_f]
 
 
 def smooth(
@@ -70,8 +102,20 @@ def smooth(
     d_z: float,
     omega: float,
     n_sweeps: int,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """Red-black SOR smoother: ``n_sweeps`` full sweeps, unrolled for XLA fusion."""
+    """Red-black SOR smoother: ``n_sweeps`` full sweeps.
+
+    With ``use_pallas`` the whole stage is ONE VMEM-resident kernel
+    (``ops/pallas_stencil.py``) instead of ~10 XLA ops per sweep — the op
+    count per V-cycle drops by ~10x, which matters because small-grid stencil
+    ops are fixed-overhead-bound on TPU, not bandwidth-bound.
+    """
+    if use_pallas:
+        from scpn_fusion_tpu.ops.pallas_stencil import sor_sweeps_pallas
+        return sor_sweeps_pallas(psi, source, r_1d, d_r, d_z,
+                                 jnp.asarray(omega, psi.dtype), n_sweeps,
+                                 interpret=False)
     for _ in range(n_sweeps):
         psi = sor_step(psi, source, r_1d, d_r, d_z, omega)
     return psi
@@ -88,13 +132,15 @@ def _vcycle_impl(
     post_smooth: int,
     min_grid: int,
     coarse_sweeps: int,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     nz, nr = psi.shape
     if min_grid >= nz or min_grid >= nr:
         # Coarsest level: "direct" solve by many smoothing sweeps.
-        return smooth(psi, source, r_1d, d_r, d_z, omega, coarse_sweeps)
+        return smooth(psi, source, r_1d, d_r, d_z, omega, coarse_sweeps,
+                      use_pallas)
 
-    psi = smooth(psi, source, r_1d, d_r, d_z, omega, pre_smooth)
+    psi = smooth(psi, source, r_1d, d_r, d_z, omega, pre_smooth, use_pallas)
 
     # Coarse-grid RHS: r = source - L[psi]  (the error equation L[e] = r).
     defect = gs_residual(psi, source, r_1d, d_r, d_z)
@@ -104,15 +150,16 @@ def _vcycle_impl(
     e_coarse = _vcycle_impl(
         jnp.zeros_like(d_coarse), d_coarse, r_coarse,
         d_r * 2.0, d_z * 2.0, omega, pre_smooth, post_smooth,
-        min_grid, coarse_sweeps,
+        min_grid, coarse_sweeps, use_pallas,
     )
 
     psi = psi + prolongate_bilinear(e_coarse, nz, nr)
-    return smooth(psi, source, r_1d, d_r, d_z, omega, post_smooth)
+    return smooth(psi, source, r_1d, d_r, d_z, omega, post_smooth, use_pallas)
 
 
 @partial(jax.jit, static_argnames=(
-    "d_r", "d_z", "omega", "pre_smooth", "post_smooth", "min_grid", "coarse_sweeps"))
+    "d_r", "d_z", "omega", "pre_smooth", "post_smooth", "min_grid",
+    "coarse_sweeps", "use_pallas"))
 def vcycle(
     psi: jnp.ndarray,
     source: jnp.ndarray,
@@ -125,6 +172,7 @@ def vcycle(
     post_smooth: int = 3,
     min_grid: int = 5,
     coarse_sweeps: int = 50,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """One geometric-multigrid V-cycle for ``Delta* psi = source``.
 
@@ -133,7 +181,8 @@ def vcycle(
     zero because the defect is zero there).
     """
     return _vcycle_impl(psi, source, r_1d, d_r, d_z, omega,
-                        pre_smooth, post_smooth, min_grid, coarse_sweeps)
+                        pre_smooth, post_smooth, min_grid, coarse_sweeps,
+                        use_pallas)
 
 
 def mg_solve(
@@ -148,10 +197,11 @@ def mg_solve(
     pre_smooth: int = 3,
     post_smooth: int = 3,
     min_grid: int = 5,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Run ``n_cycles`` V-cycles (standalone converged MG solve,
     reference ``multigrid_solve.py:352``)."""
     def body(_, p):
         return _vcycle_impl(p, source, r_1d, d_r, d_z, omega,
-                            pre_smooth, post_smooth, min_grid, 50)
+                            pre_smooth, post_smooth, min_grid, 50, use_pallas)
     return jax.lax.fori_loop(0, n_cycles, body, psi0)
