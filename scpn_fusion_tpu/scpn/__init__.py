@@ -1,0 +1,9 @@
+from scpn_fusion_tpu.scpn.structure import StochasticPetriNet  # noqa: F401
+from scpn_fusion_tpu.scpn.controller import (  # noqa: F401
+    CompiledController,
+    ControllerConfig,
+    ControllerState,
+    controller_step,
+    initial_controller_state,
+    run_controller,
+)
