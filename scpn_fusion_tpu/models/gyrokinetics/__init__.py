@@ -1,0 +1,23 @@
+from scpn_fusion_tpu.models.gyrokinetics.geometry import (  # noqa: F401
+    MillerGeometry,
+    circular_geometry,
+    miller_geometry,
+)
+from scpn_fusion_tpu.models.gyrokinetics.species import (  # noqa: F401
+    GKSpecies,
+    VelocityGrid,
+    bessel_j0,
+    collision_frequencies,
+    deuterium_ion,
+    electron,
+)
+from scpn_fusion_tpu.models.gyrokinetics.linear import (  # noqa: F401
+    EigenMode,
+    LinearGKResult,
+    solve_eigenvalue_single_ky,
+    solve_linear_gk,
+)
+from scpn_fusion_tpu.models.gyrokinetics.quasilinear import (  # noqa: F401
+    mixing_length_saturation,
+    quasilinear_fluxes_from_spectrum,
+)

@@ -1,0 +1,265 @@
+"""Linear gyrokinetic eigenvalue solver (flux-tube, ballooning space).
+
+JAX port of the reference's response-matrix formulation
+(``core/gk_eigenvalue.py:42-330``): the dispersion matrix is assembled as a
+velocity-space quadrature over the (E, lambda) grid of FLR-weighted drive and
+parallel-streaming contributions plus the adiabatic-electron response, then
+the most-unstable mode is extracted.
+
+TPU-first deltas:
+* the (E, lambda) double loop becomes one ``vmap``-ed assembly + weighted sum
+  (two orders of magnitude fewer dispatches);
+* ``jnp.linalg.eig`` only exists on CPU, so the extraction has two lanes:
+  dense ``eig`` (CPU) and an initial-value power method — propagate
+  dphi/dt = -i M phi with RK4 under ``lax.scan``, read the eigenvalue from
+  the final Rayleigh quotient — which runs on TPU and is what a physical
+  initial-value GK code does anyway.
+
+Parity note: the reference computes drift/collision coefficients but
+accumulates only the drive + streaming terms into the matrix
+("for stability, directly accumulate the drive term", ``gk_eigenvalue.py:
+255-263`` — A_vpt is assembled and then unused).  We replicate that effective
+formula; ``include_drifts=True`` adds the omega_D + nu diagonal the reference
+computes-but-drops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scpn_fusion_tpu.models.gyrokinetics.geometry import MillerGeometry, circular_geometry
+from scpn_fusion_tpu.models.gyrokinetics.species import (
+    E_CHARGE,
+    GKSpecies,
+    VelocityGrid,
+    bessel_j0,
+    collision_frequencies,
+    deuterium_ion,
+)
+
+
+@dataclasses.dataclass
+class EigenMode:
+    k_y_rho_s: float
+    omega_r: float
+    gamma: float
+    mode_type: str
+    phi_theta: np.ndarray | None = None
+
+
+@dataclasses.dataclass
+class LinearGKResult:
+    k_y: np.ndarray
+    gamma: np.ndarray
+    omega_r: np.ndarray
+    mode_type: list
+
+    @property
+    def gamma_max(self) -> float:
+        return float(np.max(self.gamma)) if len(self.gamma) else 0.0
+
+    @property
+    def k_y_max(self) -> float:
+        return float(self.k_y[np.argmax(self.gamma)]) if len(self.gamma) else 0.0
+
+
+def _streaming_matrix(theta: jnp.ndarray) -> jnp.ndarray:
+    """Periodic central-difference d/dtheta matrix (coefficient applied later)."""
+    n = theta.shape[0]
+    dtheta = theta[1] - theta[0]
+    d = (jnp.diag(jnp.ones(n - 1), 1) - jnp.diag(jnp.ones(n - 1), -1))
+    d = d.at[0, -1].set(-1.0).at[-1, 0].set(1.0)
+    return d / (2.0 * dtheta)
+
+
+def assemble_dispersion_matrix(
+    k_y_rho_s,
+    ion: GKSpecies,
+    geom: MillerGeometry,
+    vgrid: VelocityGrid,
+    *,
+    r0: float = 2.78,
+    a: float = 1.0,
+    b0: float = 2.0,
+    z_eff: float = 1.0,
+    nu_star: float = 0.01,
+    include_drifts: bool = False,
+    adiabatic_electrons: bool = True,
+    dtype=jnp.float64,
+) -> jnp.ndarray:
+    """Build the (n_theta, n_theta) complex dispersion matrix at one k_y."""
+    n_theta = geom.theta.shape[0]
+    b_ratio = geom.b_mag / jnp.mean(geom.b_mag)
+    energy, e_w, lam, l_w = vgrid.nodes(dtype)
+
+    omega_star_n = k_y_rho_s * ion.r_l_n
+    omega_star_t = k_y_rho_s * ion.r_l_t
+    eta_i = jnp.where(omega_star_n != 0,
+                      omega_star_t / jnp.maximum(jnp.abs(omega_star_n), 1e-10),
+                      0.0)
+    rho_i_over_a = (ion.mass_kg * ion.thermal_speed
+                    / (abs(ion.charge_e) * E_CHARGE * b0) / a)
+    d_theta_mat = _streaming_matrix(geom.theta).astype(dtype)
+
+    nu_d, nu_e = collision_frequencies(ion, ion.density_19,
+                                       ion.temperature_kev, z_eff)
+
+    def vpoint(e_norm, w_e, lam_val, w_l):
+        fm = (2.0 / jnp.sqrt(jnp.pi)) * jnp.sqrt(e_norm) * jnp.exp(-e_norm) * w_e
+        weight = fm * w_l
+        b_arg = k_y_rho_s * rho_i_over_a * jnp.sqrt(2.0 * lam_val * e_norm)
+        j0 = bessel_j0(b_arg * jnp.ones(n_theta))
+        omega_star_full = omega_star_n * (1.0 + eta_i * (e_norm - 1.5))
+
+        xi = jnp.sqrt(jnp.maximum(1.0 - lam_val * b_ratio, 0.0))
+        v_par = jnp.sqrt(2.0 * e_norm) * xi
+        coeff = v_par * geom.b_dot_grad_theta
+        d_par = coeff[:, None] * d_theta_mat   # diag(coeff) @ D
+
+        drive = jnp.diag(j0 * j0 * omega_star_full).astype(jnp.complex128)
+        stream = 1j * (j0[:, None] * d_par * j0[None, :])
+        m = drive + stream
+        if include_drifts:
+            xi_sq = jnp.maximum(1.0 - lam_val * b_ratio, 0.0)
+            omega_d = k_y_rho_s * 2.0 * e_norm * (
+                geom.kappa_n * xi_sq + geom.kappa_g * jnp.sqrt(xi_sq))
+            pitch = nu_d * (1.0 - xi_sq[0])
+            e_diff = nu_e * (e_norm - 1.5) ** 2 / jnp.maximum(e_norm, 1e-12)
+            nu_eff = nu_star * (pitch + e_diff)
+            m = m + jnp.diag(omega_d + nu_eff).astype(jnp.complex128)
+        return weight * m
+
+    ee, ll = jnp.meshgrid(energy, lam, indexing="ij")
+    we, wl = jnp.meshgrid(e_w, l_w, indexing="ij")
+    contribs = jax.vmap(vpoint)(ee.reshape(-1), we.reshape(-1),
+                                ll.reshape(-1), wl.reshape(-1))
+    r_ion = jnp.sum(contribs, axis=0)
+
+    if adiabatic_electrons:
+        eye = jnp.eye(n_theta, dtype=jnp.complex128)
+        fsa = jnp.ones((n_theta, n_theta), jnp.complex128) / n_theta
+        r_ion = r_ion + (eye - fsa)
+    return r_ion
+
+
+class IVResult(NamedTuple):
+    omega_r: jnp.ndarray
+    gamma: jnp.ndarray
+    phi: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def most_unstable_mode_initial_value(
+    m: jnp.ndarray,
+    *,
+    dt: float = 0.02,
+    n_steps: int = 4000,
+) -> IVResult:
+    """Most-unstable eigenvalue of M via initial-value RK4 on
+    dphi/dt = -i M phi, eigenvalue from the final Rayleigh quotient.
+    TPU-safe (no dense eig)."""
+    n = m.shape[0]
+    phi0 = (jnp.ones((n,)) + 0.1 * jnp.sin(jnp.arange(n))).astype(jnp.complex128)
+
+    def rhs(phi):
+        return -1j * (m @ phi)
+
+    def step(phi, _):
+        k1 = rhs(phi)
+        k2 = rhs(phi + 0.5 * dt * k1)
+        k3 = rhs(phi + 0.5 * dt * k2)
+        k4 = rhs(phi + dt * k3)
+        phi_new = phi + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return phi_new / jnp.maximum(jnp.linalg.norm(phi_new), 1e-300), None
+
+    phi_f, _ = jax.lax.scan(step, phi0, None, length=n_steps)
+    rayleigh = (jnp.conj(phi_f) @ (m @ phi_f)) / jnp.maximum(
+        jnp.conj(phi_f) @ phi_f, 1e-300)
+    return IVResult(rayleigh.real, rayleigh.imag, phi_f)
+
+
+def solve_eigenvalue_single_ky(
+    k_y_rho_s: float,
+    species_list: list,
+    geom: MillerGeometry,
+    vgrid: VelocityGrid,
+    *,
+    r0: float = 2.78,
+    a: float = 1.0,
+    b0: float = 2.0,
+    z_eff: float = 1.0,
+    nu_star: float = 0.01,
+    method: str = "auto",
+) -> EigenMode:
+    """Solve for the most-unstable mode at one k_y.
+
+    method: "eig" (dense, CPU), "initial_value" (TPU-safe), "auto".
+    """
+    ion = species_list[0]
+    m = assemble_dispersion_matrix(
+        k_y_rho_s, ion, geom, vgrid, r0=r0, a=a, b0=b0,
+        z_eff=z_eff, nu_star=nu_star)
+
+    if method == "auto":
+        method = "eig" if jax.default_backend() == "cpu" else "initial_value"
+
+    if method == "eig":
+        eigvals, eigvecs = jnp.linalg.eig(m)
+        gammas = np.asarray(eigvals.imag)
+        omegas = np.asarray(eigvals.real)
+        if np.all(gammas <= 0):
+            return EigenMode(k_y_rho_s, 0.0, 0.0, "stable")
+        idx = int(np.argmax(gammas))
+        gamma, omega_r = float(gammas[idx]), float(omegas[idx])
+        phi = np.abs(np.asarray(eigvecs[:, idx]))
+    else:
+        out = most_unstable_mode_initial_value(m)
+        gamma, omega_r = float(out.gamma), float(out.omega_r)
+        phi = np.abs(np.asarray(out.phi))
+        if gamma <= 0:
+            return EigenMode(k_y_rho_s, 0.0, 0.0, "stable")
+
+    mode = "ITG" if omega_r < 0 else ("TEM" if omega_r > 0 else "stable")
+    return EigenMode(k_y_rho_s, omega_r, max(gamma, 0.0), mode, phi)
+
+
+def solve_linear_gk(
+    species_list: list | None = None,
+    geom: MillerGeometry | None = None,
+    vgrid: VelocityGrid | None = None,
+    *,
+    k_y_values: np.ndarray | None = None,
+    r0: float = 2.78,
+    a: float = 1.0,
+    b0: float = 2.0,
+    q: float = 1.4,
+    s_hat: float = 0.78,
+    z_eff: float = 1.0,
+    nu_star: float = 0.01,
+    method: str = "auto",
+) -> LinearGKResult:
+    """k_y spectrum scan (reference ``solve_linear_gk``)."""
+    if species_list is None:
+        species_list = [deuterium_ion()]
+    if geom is None:
+        geom = circular_geometry(r0=r0, a=a, q=q, s_hat=s_hat, b0=b0)
+    if vgrid is None:
+        vgrid = VelocityGrid(n_energy=8, n_lambda=12)
+    if k_y_values is None:
+        k_y_values = np.linspace(0.1, 1.0, 10)
+
+    modes = [solve_eigenvalue_single_ky(
+        float(ky), species_list, geom, vgrid, r0=r0, a=a, b0=b0,
+        z_eff=z_eff, nu_star=nu_star, method=method) for ky in k_y_values]
+    return LinearGKResult(
+        k_y=np.asarray([m.k_y_rho_s for m in modes]),
+        gamma=np.asarray([m.gamma for m in modes]),
+        omega_r=np.asarray([m.omega_r for m in modes]),
+        mode_type=[m.mode_type for m in modes],
+    )
