@@ -1,0 +1,174 @@
+"""Edge physics: SOL two-point model, Eich width, EPED-like pedestal.
+
+JAX ports with identical closures:
+
+* Eich scaling lambda_q [mm] = 1.35 P^-0.02 R^0.04 Bpol^-0.92 eps^0.42
+  (``core/sol_model.py:28-43``)
+* Spitzer-Harm two-point SOL model with sheath-limited target
+  (``core/sol_model.py:46-95``)
+* EPED-like pedestal: Snyder width scaling Delta = 0.076 beta_p^0.5
+  nu*^-0.2 with JET-ILW density broadening, KBM/ballooning-limited T_ped
+  fixed point (``core/eped_pedestal.py:104-330``)
+
+All pure jnp scalar functions — they run inside scenario scans and are
+differentiable for pedestal/divertor design optimisation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+E_CHARGE = 1.602176634e-19
+M_E = 9.109e-31
+EPS0 = 8.8541878128e-12
+MU0 = 4.0e-7 * jnp.pi
+
+import numpy as _np
+
+# f32-safe electron Coulomb prefactor (see transport/closures.py note):
+# nu_ei = K_E * n_19 * Z_eff * ln_lambda / T_keV^1.5.
+_K_NU_E = float(1e19 * E_CHARGE**4
+                / (12.0 * _np.pi**1.5 * EPS0**2 * _np.sqrt(M_E)
+                   * (1e3 * E_CHARGE) ** 1.5))
+
+
+def eich_heat_flux_width(p_sol_mw, r0, b_pol, epsilon):
+    """Eich #14 scaling, lambda_q in mm (returns 1.0 on degenerate input)."""
+    ok = (p_sol_mw > 0) & (b_pol > 0) & (r0 > 0) & (epsilon > 0)
+    lam = 1.35 * (jnp.maximum(p_sol_mw, 1e-9) ** -0.02) \
+        * (jnp.maximum(r0, 1e-9) ** 0.04) \
+        * (jnp.maximum(b_pol, 1e-9) ** -0.92) \
+        * (jnp.maximum(epsilon, 1e-9) ** 0.42)
+    return jnp.where(ok, lam, 1.0)
+
+
+def peak_target_heat_flux(p_sol_mw, r0, lambda_q_m, f_expansion=5.0,
+                          alpha_deg=3.0):
+    """Peak target heat flux [MW/m^2] with flux expansion and tilt."""
+    area = (2.0 * jnp.pi * r0 * lambda_q_m * f_expansion
+            / jnp.sin(jnp.deg2rad(alpha_deg)))
+    return jnp.where(lambda_q_m > 0, p_sol_mw / jnp.maximum(area, 1e-12), 0.0)
+
+
+class SOLSolution(NamedTuple):
+    t_upstream_ev: jnp.ndarray
+    t_target_ev: jnp.ndarray
+    n_target_19: jnp.ndarray
+    q_parallel_mw_m2: jnp.ndarray
+    lambda_q_mm: jnp.ndarray
+
+
+def two_point_sol(
+    *,
+    p_sol_mw,
+    n_u_19,
+    r0,
+    a,
+    q95,
+    b_pol,
+    f_rad=0.0,
+) -> SOLSolution:
+    """Spitzer-Harm two-point model (reference ``TwoPointSOL.solve``)."""
+    epsilon = a / r0
+    l_par = jnp.pi * q95 * r0
+    lambda_q_mm = eich_heat_flux_width(p_sol_mw, r0, b_pol, epsilon)
+    lambda_q_m = lambda_q_mm * 1e-3
+
+    b_ratio = q95 / epsilon
+    q_par_u = (p_sol_mw * 1e6) / (4.0 * jnp.pi * r0 * lambda_q_m) * b_ratio
+
+    kappa_0 = 2000.0
+    t_u = ((3.5 * l_par * q_par_u) / kappa_0) ** (2.0 / 7.0)
+    q_par_t = jnp.maximum(q_par_u * (1.0 - f_rad), 1e3)
+
+    gamma_sh = 7.0
+    m_i = 2.0 * 1.6726e-27
+    n_u = n_u_19 * 1e19
+    denom = n_u * t_u * gamma_sh * E_CHARGE * jnp.sqrt(2.0 * E_CHARGE / m_i)
+    sqrt_tt = 2.0 * q_par_t / jnp.maximum(denom, 1e-30)
+    t_t = jnp.where(denom > 0, sqrt_tt**2, 0.1)
+    t_t = jnp.minimum(t_t, t_u)
+    n_t = n_u * t_u / (2.0 * jnp.maximum(t_t, 0.1))
+
+    return SOLSolution(t_u, t_t, n_t / 1e19, q_par_u / 1e6, lambda_q_mm)
+
+
+class PedestalResult(NamedTuple):
+    p_ped_kpa: jnp.ndarray
+    t_ped_kev: jnp.ndarray
+    n_ped_1e19: jnp.ndarray
+    delta_ped: jnp.ndarray
+    beta_p_ped: jnp.ndarray
+    nu_star_ped: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def eped_pedestal(
+    *,
+    n_ped_1e19,
+    r0,
+    a,
+    b0,
+    ip_ma,
+    kappa=1.7,
+    z_eff=1.5,
+    t_ped_guess_kev=3.0,
+    n_iter: int = 20,
+) -> PedestalResult:
+    """EPED-like pedestal prediction (Snyder width + KBM-limited height)."""
+    epsilon = a / r0
+    b_pol = MU0 * ip_ma * 1e6 / (2.0 * jnp.pi * a
+                                 * jnp.sqrt((1.0 + kappa**2) / 2.0))
+    n_e = n_ped_1e19 * 1e19
+
+    q_ped = jnp.maximum(
+        (b0 / r0) * (a**2 / (0.2 * ip_ma)) * ((1.0 + kappa**2) / 2.0), 2.0)
+    s_ped = 2.0 * (1.0 + 0.5 * (kappa - 1.7))
+    alpha_crit = jnp.where(s_ped < 1.0, s_ped * (1.0 - s_ped / 2.0),
+                           0.6 * s_ped) * (1.0 + 0.3 * (kappa - 1.0))
+
+    def body(_, t_ped):
+        t_j = t_ped * 1e3 * E_CHARGE
+        p_ped = n_e * 2.0 * t_j
+        beta_p = 2.0 * MU0 * p_ped / b_pol**2
+        v_te = jnp.sqrt(2.0 * t_j / M_E)
+        t_ev = jnp.maximum(t_ped, 0.01) * 1e3
+        ln_l = jnp.maximum(
+            17.7 + jnp.log(t_ev / 1e4)
+            - 0.5 * jnp.log(jnp.maximum(n_e, 1e10) / 1e20), 10.0)
+        nu_ei = _K_NU_E * n_ped_1e19 * z_eff * ln_l / jnp.maximum(t_ped, 0.01) ** 1.5
+        eps_ped = jnp.maximum(0.95 * epsilon, 0.01)
+        nu_star = nu_ei * q_ped * r0 / (eps_ped**1.5 * jnp.maximum(v_te, 1.0))
+        delta = (0.076 * jnp.sqrt(jnp.maximum(beta_p, 0.001))
+                 * jnp.maximum(nu_star, 0.001) ** -0.2)
+        delta = delta * (1.0 + 0.25 * (n_ped_1e19 / 10.0))
+        delta = jnp.clip(delta, 0.01, 0.15)
+        t_max = (alpha_crit * b0**2 * delta * a) / (
+            4.0 * MU0 * r0 * q_ped**2 * n_e)
+        return jnp.maximum(t_max / E_CHARGE / 1e3, 0.1)
+
+    t_ped = jax.lax.fori_loop(0, n_iter, body, jnp.asarray(t_ped_guess_kev))
+
+    # Final diagnostics at the converged point.
+    t_j = t_ped * 1e3 * E_CHARGE
+    p_ped = n_e * 2.0 * t_j
+    beta_p = 2.0 * MU0 * p_ped / b_pol**2
+    t_ev = jnp.maximum(t_ped, 0.01) * 1e3
+    ln_l = jnp.maximum(17.7 + jnp.log(t_ev / 1e4)
+                       - 0.5 * jnp.log(jnp.maximum(n_e, 1e10) / 1e20), 10.0)
+    nu_ei = _K_NU_E * n_ped_1e19 * z_eff * ln_l / jnp.maximum(t_ped, 0.01) ** 1.5
+    v_te = jnp.sqrt(2.0 * t_j / M_E)
+    eps_ped = jnp.maximum(0.95 * epsilon, 0.01)
+    nu_star = nu_ei * q_ped * r0 / (eps_ped**1.5 * jnp.maximum(v_te, 1.0))
+    delta = jnp.clip(
+        (0.076 * jnp.sqrt(jnp.maximum(beta_p, 0.001))
+         * jnp.maximum(nu_star, 0.001) ** -0.2)
+        * (1.0 + 0.25 * (n_ped_1e19 / 10.0)), 0.01, 0.15)
+
+    return PedestalResult(
+        p_ped_kpa=p_ped / 1e3, t_ped_kev=t_ped, n_ped_1e19=jnp.asarray(n_ped_1e19),
+        delta_ped=delta, beta_p_ped=beta_p, nu_star_ped=nu_star)

@@ -26,6 +26,22 @@ EPS0 = 8.854187812e-12
 M_P = 1.672621924e-27
 M_E = 9.10938370e-31
 
+import numpy as _np
+
+
+def _coulomb_prefactor(mass_kg: float) -> float:
+    """Python-float constant K such that
+    nu = K * n_19 * Z_factor * ln_lambda / T_keV^1.5  [1/s].
+
+    Hoisting e^4 / (eps0^2 sqrt(m) (1e3 e)^1.5) into one host-side float is
+    required for TPU f32: the naive SI expression underflows (n * e^4 ~
+    1e-56 < f32 min normal), which silently floors the chi closures and
+    NaNs the pedestal model (found by on-hardware probing).
+    """
+    return float(1e19 * E_CHARGE**4
+                 / (12.0 * _np.pi**1.5 * EPS0**2 * _np.sqrt(mass_kg)
+                    * (1e3 * E_CHARGE) ** 1.5))
+
 
 def _ln_lambda(t_kev: jnp.ndarray, n_e_m3: jnp.ndarray) -> jnp.ndarray:
     """NRL Coulomb logarithm with the reference's clamps."""
@@ -61,8 +77,7 @@ def chang_hinton_chi(
     rho_i = m_i * v_ti / (E_CHARGE * b0)
     n_m3 = n_e * 1e19
     ll = _ln_lambda(t_i, n_m3)
-    nu_ii = (n_m3 * z_eff**2 * E_CHARGE**4 * ll
-             / (12.0 * jnp.pi**1.5 * EPS0**2 * m_i**0.5 * t_j**1.5))
+    nu_ii = _coulomb_prefactor(m_i) * n_e * z_eff**2 * ll / t_i**1.5
 
     eps_safe = jnp.where(valid, epsilon, 1.0)
     eps32 = eps_safe**1.5
@@ -125,8 +140,7 @@ def sauter_bootstrap_current(
     v_te = jnp.sqrt(2.0 * t_e_j / M_E)
     n_m3 = ne * 1e19
     ll = _ln_lambda(te, n_m3)
-    nu_ei = (n_m3 * z_eff * E_CHARGE**4 * ll
-             / (12.0 * jnp.pi**1.5 * EPS0**2 * M_E**0.5 * t_e_j**1.5))
+    nu_ei = _coulomb_prefactor(M_E) * ne * z_eff * ll / te**1.5
     nu_ei = jnp.where(jnp.isfinite(nu_ei) & (nu_ei >= 0), nu_ei, 0.0)
     nu_star_e = jnp.where(v_te > 0, nu_ei * q_c * r0 / (eps**1.5 * v_te), 1e6)
     nu_star_e = jnp.where(jnp.isfinite(nu_star_e) & (nu_star_e >= 0), nu_star_e, 1e6)
@@ -188,9 +202,13 @@ def tungsten_radiation_rate(te_kev: jnp.ndarray) -> jnp.ndarray:
 def bremsstrahlung_power_density(
     ne_19: jnp.ndarray, te_kev: jnp.ndarray, z_eff: float
 ) -> jnp.ndarray:
-    """Bremsstrahlung power density [W/m^3]."""
-    ne = jnp.clip(ne_19, 0.0, 1e6) * 1e19
+    """Bremsstrahlung power density [W/m^3].
+
+    Computed in 1e19-normalised density units: ne^2 in SI (~1e40) overflows
+    f32; the prefactor folds the 1e38 back in host-side.
+    """
+    ne19 = jnp.clip(ne_19, 0.0, 1e6)
     te = jnp.clip(te_kev, 0.01, 1e3)
     z = jnp.clip(z_eff, 1e-6, 100.0)
-    p = 5.35e-37 * z * ne**2 * jnp.sqrt(te)
+    p = (5.35e-37 * 1e38) * z * ne19**2 * jnp.sqrt(te)
     return jnp.where(jnp.isfinite(p), p, 0.0)

@@ -236,9 +236,9 @@ def _evolve_species(params: TransportParams, s: TransportState, dt,
                     p_aux_mw, rho, drho):
     """D/T burn, He ash with pump, quasi-neutral ne, Z_eff, line radiation."""
     sigmav = bosch_hale_sigmav(s.ti)
-    s_fus = (s.n_d * 1e19) * (s.n_t * 1e19) * sigmav
-    s_fuel = s_fus / 1e19
-    s_he = s_fus / 1e19
+    # 1e19-normalised burn rate (SI n_d*n_t ~ 1e39 overflows f32).
+    s_fuel = (s.n_d * s.n_t * sigmav) * 1e19   # [1e19 m^-3 / s]
+    s_he = s_fuel
 
     tau_e = _confinement_time_estimate(params, s, p_aux_mw, rho)
     tau_he = jnp.maximum(params.tau_he_factor * tau_e, 0.5)
@@ -269,7 +269,8 @@ def _evolve_species(params: TransportParams, s: TransportState, dt,
     z_eff = jnp.clip(jnp.mean(sum_nz2 / ne_m3), 1.0, 10.0)
 
     lz = tungsten_radiation_rate(s.te)
-    p_rad_line = ne_m3 * (n_imp * 1e19) * lz
+    # f32-safe ordering: (ne19 * n_imp19) ~ 1e2, then one 1e38-folded factor.
+    p_rad_line = (ne * n_imp) * (lz * 1e38)
     return s._replace(n_d=n_d, n_t=n_t, n_he=n_he, ne=ne,
                       z_eff=z_eff), p_rad_line
 
