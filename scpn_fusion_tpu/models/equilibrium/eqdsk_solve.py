@@ -138,9 +138,14 @@ def solve_from_geqdsk(
     alpha: float = 0.1,
     tol: float | None = None,
     n_inner_cycles: int = 1,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> EqdskSolveResult:
-    """Reconstruct the equilibrium of a G-EQDSK file on its own grid."""
+    """Reconstruct the equilibrium of a G-EQDSK file on its own grid.
+
+    ``dtype`` defaults to f64 where enabled (CPU x64) and f32 on TPU.
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     grid = Grid.from_bounds(
         eq.nw, eq.nh,
         eq.rleft, eq.rleft + eq.rdim,

@@ -1,0 +1,144 @@
+"""CLI, checkpoint/resume, fallback telemetry tests."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scpn_fusion_tpu.cli import main as cli_main
+from scpn_fusion_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from scpn_fusion_tpu.utils.telemetry import (
+    FallbackBudgetExceeded,
+    FallbackTelemetry,
+)
+
+
+@pytest.fixture
+def config_file(tmp_path):
+    cfg = {
+        "reactor_name": "cli-test",
+        "grid_resolution": [33, 33],
+        "dimensions": {"R_min": 2.0, "R_max": 10.0, "Z_min": -4.0, "Z_max": 4.0},
+        "physics": {"plasma_current_target": 15.0, "vacuum_permeability": 1.0},
+        "coils": [
+            {"r": 8.0, "z": 4.8, "current": 4.0},
+            {"r": 10.8, "z": 0.0, "current": 6.0},
+            {"r": 8.0, "z": -4.8, "current": 4.0},
+        ],
+        "solver": {"max_iterations": 200, "convergence_threshold": 1e-4,
+                   "relaxation_factor": 0.1, "solver_method": "multigrid"},
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    return p
+
+
+class TestCLI:
+    def test_kernel_mode(self, config_file, tmp_path, capsys):
+        rc = cli_main(["kernel", str(config_file),
+                       "--output", str(tmp_path / "out.npz")])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert out["converged"] is True
+        data = np.load(tmp_path / "out.npz")
+        assert data["psi"].shape == (33, 33)
+
+    def test_burn_mode(self, capsys):
+        rc = cli_main(["burn", "--ne19", "10", "--p-aux", "50"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert out["Q"] > 1.0
+
+    def test_flight_sim_mode(self, capsys):
+        rc = cli_main(["flight-sim", "--hz", "1000", "--duration", "0.2"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert out["disruption_fraction"] == 0.0
+
+    def test_geqdsk_mode(self, capsys):
+        import pathlib
+        f = pathlib.Path("/root/reference/validation/reference_data/"
+                         "diiid/diiid_hmode_2MA.geqdsk")
+        if not f.exists():
+            pytest.skip("fixture not mounted")
+        rc = cli_main(["geqdsk", str(f), "--max-iter", "200"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert out["span_rel_rmse"] < 0.3
+
+    def test_unknown_mode_rejected(self):
+        with pytest.raises(SystemExit):
+            cli_main(["warp-drive"])
+
+
+class TestCheckpoint:
+    def test_roundtrip_pytree(self, tmp_path):
+        state = {"psi": jnp.ones((8, 8)), "k": jnp.int32(7),
+                 "nested": (jnp.zeros(3), jnp.asarray(2.5))}
+        p = save_checkpoint(tmp_path / "ck", state, metadata={"step": 42})
+        loaded, meta = load_checkpoint(tmp_path / "ck", state)
+        assert meta["step"] == 42
+        np.testing.assert_array_equal(np.asarray(loaded["psi"]),
+                                      np.ones((8, 8)))
+        assert int(loaded["k"]) == 7
+
+    def test_tamper_detected(self, tmp_path):
+        state = {"x": jnp.ones(4)}
+        save_checkpoint(tmp_path / "ck", state)
+        # Corrupt the NPZ payload.
+        npz = tmp_path / "ck.npz"
+        raw = bytearray(npz.read_bytes())
+        raw[-1] ^= 0xFF
+        npz.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="checksum"):
+            load_checkpoint(tmp_path / "ck", state)
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        save_checkpoint(tmp_path / "ck", {"x": jnp.ones(4)})
+        with pytest.raises(ValueError, match="shape"):
+            load_checkpoint(tmp_path / "ck", {"x": jnp.ones(5)})
+
+    def test_warm_start_resume(self, tmp_path):
+        """The performance-critical resume: a converged psi reloaded as the
+        initial state converges in far fewer iterations."""
+        from scpn_fusion_tpu.models.equilibrium import solve_equilibrium
+        from tests.test_fixed_boundary import make_cfg
+        cfg = make_cfg("multigrid", n=33, max_iter=300)
+        cold = solve_equilibrium(cfg, dtype=jnp.float64)
+        save_checkpoint(tmp_path / "eq", {"psi": cold.psi})
+        loaded, _ = load_checkpoint(tmp_path / "eq", {"psi": cold.psi})
+        warm = solve_equilibrium(cfg, dtype=jnp.float64,
+                                 psi0=loaded["psi"],
+                                 preserve_initial_state=True)
+        assert bool(warm.converged)
+        assert int(warm.iterations) < int(cold.iterations)
+
+
+class TestTelemetry:
+    def test_counts_and_dump(self, tmp_path):
+        t = FallbackTelemetry()
+        t.record("solver", "nan_recovery", {"iter": 3})
+        t.record("solver", "nan_recovery")
+        t.record("transport", "chi_floor")
+        assert t.counts() == {"solver.nan_recovery": 2, "transport.chi_floor": 1}
+        p = tmp_path / "events.jsonl"
+        t.dump_jsonl(p)
+        lines = p.read_text().strip().splitlines()
+        assert len(lines) == 3
+        assert json.loads(lines[0])["component"] == "solver"
+
+    def test_budget_enforced(self, monkeypatch):
+        monkeypatch.setenv("SCPN_TPU_MAX_FALLBACK_EVENTS_SOLVER", "2")
+        t = FallbackTelemetry()
+        t.record("solver", "x")
+        t.record("solver", "x")
+        with pytest.raises(FallbackBudgetExceeded):
+            t.record("solver", "x")
+
+    def test_general_budget(self, monkeypatch):
+        monkeypatch.setenv("SCPN_TPU_MAX_FALLBACK_EVENTS", "1")
+        t = FallbackTelemetry()
+        t.record("anything", "y")
+        with pytest.raises(FallbackBudgetExceeded):
+            t.record("anything", "y")
