@@ -1,0 +1,136 @@
+"""Disruption prediction: windowed features -> MLP risk -> alarm runtime.
+
+Reference lane: ``control/disruption_predictor.py:92-200`` (transformer with
+a NumPy fallback path), ``disruption_risk_runtime.py`` (threshold/latch
+semantics), RESULTS.md "recall 1.00 / FPR 0.00 over 16 shots".  TPU-first
+design: sliding-window feature extraction is one vectorised gather, the
+classifier is the shared plain-JAX MLP backbone trained with the jitted Adam
+scan, and whole-shot risk traces evaluate as a single vmapped forward pass.
+The alarm runtime adds threshold + consecutive-tick confirmation + latching
+(a disruption alarm never un-fires).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scpn_fusion_tpu.models.surrogates.mlp import (
+    MLPParams,
+    init_mlp,
+    mlp_apply,
+    train_mlp,
+)
+
+
+def extract_window_features(signals: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Sliding-window features over a shot.
+
+    signals: (T, C) diagnostic channels.  Returns (T - window + 1, 3C):
+    per-channel mean, std, and linear trend over the trailing window.
+    """
+    t_len, n_ch = signals.shape
+    n_win = t_len - window + 1
+    idx = jnp.arange(n_win)[:, None] + jnp.arange(window)[None, :]
+    win = signals[idx]                     # (n_win, window, C)
+    mean = jnp.mean(win, axis=1)
+    std = jnp.std(win, axis=1)
+    x = jnp.arange(window, dtype=signals.dtype) - (window - 1) / 2.0
+    denom = jnp.sum(x * x)
+    trend = jnp.einsum("w,nwc->nc", x, win) / denom
+    return jnp.concatenate([mean, std, trend], axis=1)
+
+
+class DisruptionPredictor(NamedTuple):
+    mlp: MLPParams
+    x_mean: jnp.ndarray
+    x_std: jnp.ndarray
+    window: int
+
+    def risk(self, signals: jnp.ndarray) -> jnp.ndarray:
+        """Per-tick disruption risk in [0, 1] for one shot (T, C)."""
+        feats = extract_window_features(signals, self.window)
+        xn = (feats - self.x_mean) / self.x_std
+        logits = mlp_apply(self.mlp, xn)[:, 0]
+        return jax.nn.sigmoid(logits)
+
+
+def train_disruption_predictor(
+    shots: jnp.ndarray,      # (N, T, C)
+    labels: jnp.ndarray,     # (N,) 1 = disruptive
+    key,
+    *,
+    window: int = 16,
+    pre_disruption_ticks: int = 32,
+    hidden: tuple = (64, 64),
+    n_steps: int = 3000,
+    lr: float = 1e-3,
+) -> DisruptionPredictor:
+    """Train on per-tick windows; in disruptive shots the last
+    ``pre_disruption_ticks`` windows are positive, everything else negative.
+    """
+    n, t_len, c = shots.shape
+    feats = jax.vmap(lambda s: extract_window_features(s, window))(shots)
+    n_win = feats.shape[1]
+    tick_label = (jnp.arange(n_win) >= n_win - pre_disruption_ticks)
+    y = (labels[:, None] * tick_label[None, :]).astype(feats.dtype)
+
+    x = feats.reshape(-1, 3 * c)
+    y = y.reshape(-1, 1)
+    x_mean = jnp.mean(x, axis=0)
+    x_std = jnp.maximum(jnp.std(x, axis=0), 1e-9)
+    xn = (x - x_mean) / x_std
+
+    params = init_mlp(key, (3 * c,) + hidden + (1,), dtype=x.dtype)
+    # Logistic loss via MSE-on-sigmoid is weak; reuse the MSE trainer on
+    # logits vs {0,1} targets scaled to {-3, +3} (works well for this
+    # separable task and keeps one shared training kernel).
+    res = train_mlp(params, xn, 6.0 * (y - 0.5), jax.random.fold_in(key, 1),
+                    n_steps=n_steps, batch_size=min(512, xn.shape[0]), lr=lr)
+    return DisruptionPredictor(res.params, x_mean, x_std, window)
+
+
+@dataclasses.dataclass(frozen=True)
+class AlarmConfig:
+    threshold: float = 0.7
+    confirm_ticks: int = 3
+
+
+class AlarmTrace(NamedTuple):
+    alarm: jnp.ndarray       # (T,) bool, latched
+    first_alarm_tick: jnp.ndarray  # int32, -1 if never
+
+
+def run_alarm(risk: jnp.ndarray, cfg: AlarmConfig) -> AlarmTrace:
+    """Threshold + consecutive-confirmation + latching alarm runtime."""
+    def step(carry, r):
+        streak, latched = carry
+        streak = jnp.where(r > cfg.threshold, streak + 1, 0)
+        latched = latched | (streak >= cfg.confirm_ticks)
+        return (streak, latched), latched
+
+    (_, _), alarm = jax.lax.scan(step, (jnp.int32(0), jnp.bool_(False)), risk)
+    fired = jnp.any(alarm)
+    first = jnp.argmax(alarm)
+    return AlarmTrace(alarm, jnp.where(fired, first, -1).astype(jnp.int32))
+
+
+def evaluate_predictor(
+    predictor: DisruptionPredictor,
+    shots: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: AlarmConfig = AlarmConfig(),
+):
+    """Shot-level recall / false-positive-rate (the reference's metric)."""
+    def one(shot):
+        trace = run_alarm(predictor.risk(shot), cfg)
+        return trace.first_alarm_tick >= 0
+
+    fired = jax.vmap(one)(shots)
+    pos = labels > 0.5
+    recall = jnp.sum(fired & pos) / jnp.maximum(jnp.sum(pos), 1)
+    fpr = jnp.sum(fired & ~pos) / jnp.maximum(jnp.sum(~pos), 1)
+    return {"recall": recall, "fpr": fpr, "fired": fired}
