@@ -1,16 +1,17 @@
-"""Mean-field Kuramoto-Sakaguchi phase dynamics with global driver.
+"""Mean-field Kuramoto-Sakaguchi oscillators with a global field driver.
 
-JAX port of the reference's phase engine (``phase/kuramoto.py:34-170``; Rust
-twin ``fusion-phase``):
+TPU-native equivalent of the reference phase kernel
+(``phase/kuramoto.py:34-200`` + Rust ``fusion-phase``):
 
     dtheta_i/dt = omega_i + K R sin(psi_r - theta_i - alpha)
                   + zeta sin(Psi - theta_i)
 
-with the Kuramoto order parameter ``R exp(i psi_r) = <exp(i theta)>``, a
-global driver phase Psi (external or mean-field), the Lyapunov candidate
-``V = <1 - cos(theta - Psi)>`` and exponent ``lambda = ln(V_f/V_0)/T``
-(used by ``FusionKernel.phase_sync_step_lyapunov``).  Trajectories run under
-``lax.scan``; everything is vmap-able over oscillator ensembles.
+where (R, psi_r) is the Kuramoto order parameter and Psi is an exogenous
+global driver phase ("external") or the mean-field phase ("mean_field").
+Everything is pure jnp: the step is one fused elementwise kernel, whole
+trajectories run in ``lax.scan``, and the Lyapunov diagnostics
+V = <1 - cos(theta - Psi)>, lambda = ln(V_T/V_0)/T come out of the same
+scan (the reference computes them per tick in Python).
 """
 
 from __future__ import annotations
@@ -22,98 +23,82 @@ import jax
 import jax.numpy as jnp
 
 
-def wrap_phase(x: jnp.ndarray) -> jnp.ndarray:
+def wrap_phase(x):
     """Map phases to (-pi, pi]."""
     return (x + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
 
 
-def order_parameter(theta: jnp.ndarray, weights: jnp.ndarray | None = None):
-    """Kuramoto order parameter (R, psi_r)."""
+def order_parameter(theta, weights=None):
+    """Kuramoto order parameter R e^{i psi} = <w e^{i theta}>/W -> (R, psi)."""
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
     if weights is None:
-        z = jnp.mean(jnp.exp(1j * theta))
+        zr, zi = jnp.mean(c), jnp.mean(s)
     else:
-        w = weights / jnp.maximum(jnp.sum(weights), 1e-15)
-        z = jnp.sum(w * jnp.exp(1j * theta))
-    return jnp.abs(z), jnp.angle(z)
+        w_sum = jnp.maximum(jnp.sum(weights), 1e-15)
+        zr = jnp.sum(weights * c) / w_sum
+        zi = jnp.sum(weights * s) / w_sum
+    return jnp.sqrt(zr**2 + zi**2), jnp.arctan2(zi, zr)
 
 
-def lyapunov_v(theta: jnp.ndarray, psi) -> jnp.ndarray:
-    """V = <1 - cos(theta - Psi)>; 0 at sync, 2 at maximal desync."""
+def lyapunov_v(theta, psi):
+    """V = <1 - cos(theta - Psi)>; 0 at sync, 2 at max desync."""
     return jnp.mean(1.0 - jnp.cos(theta - psi))
 
 
-def lyapunov_exponent(v_hist: jnp.ndarray, dt: float) -> jnp.ndarray:
-    """lambda = ln(V_final / V_initial) / T; lambda < 0 => stable."""
+def lyapunov_exponent(v_hist, dt):
+    """lambda = ln(V_final/V_initial)/T over the sampled window."""
+    v_hist = jnp.asarray(v_hist)
+    n = v_hist.shape[0]
     v0 = jnp.maximum(v_hist[0], 1e-15)
     vf = jnp.maximum(v_hist[-1], 1e-15)
-    t_total = v_hist.shape[0] * dt
-    return jnp.log(vf / v0) / t_total
+    return jnp.log(vf / v0) / (n * dt)
 
 
-class KuramotoOut(NamedTuple):
-    theta1: jnp.ndarray
-    dtheta: jnp.ndarray
-    r: jnp.ndarray
-    psi_r: jnp.ndarray
-    psi: jnp.ndarray
+def resolve_psi(theta, psi_external, mode: str = "external"):
+    """Global driver phase: caller-supplied carrier or the mean field."""
+    if mode == "external":
+        return jnp.asarray(psi_external)
+    if mode == "mean_field":
+        _, psi = order_parameter(theta)
+        return psi
+    raise ValueError(f"unknown psi mode {mode!r}")
 
 
-def kuramoto_sakaguchi_step(
-    theta: jnp.ndarray,
-    omega: jnp.ndarray,
-    *,
-    dt,
-    k,
-    alpha=0.0,
-    zeta=0.0,
-    psi_driver=None,
-    psi_mode: str = "external",
-    wrap: bool = True,
-) -> KuramotoOut:
-    """Single Euler step (driver resolved per ``psi_mode``, static)."""
+@partial(jax.jit, static_argnames=("wrap",))
+def kuramoto_step(theta, omega, *, dt, k_coupling, alpha=0.0, zeta=0.0,
+                  psi=0.0, wrap: bool = True):
+    """One Euler step; ``psi`` must already be resolved (see resolve_psi).
+
+    Returns (theta1, aux) with aux = dict(R, psi_r, dtheta).
+    """
     r, psi_r = order_parameter(theta)
-    if psi_mode == "external":
-        if psi_driver is None:
-            raise ValueError("psi_driver required when psi_mode='external'")
-        psi = jnp.asarray(psi_driver, theta.dtype)
-    elif psi_mode == "mean_field":
-        psi = psi_r
-    else:
-        raise ValueError(f"Unknown psi_mode: {psi_mode}")
-
-    dtheta = omega + (k * r) * jnp.sin(psi_r - theta - alpha)
+    dtheta = omega + (k_coupling * r) * jnp.sin(psi_r - theta - alpha)
     dtheta = dtheta + zeta * jnp.sin(psi - theta)
-    th1 = theta + dt * dtheta
+    theta1 = theta + dt * dtheta
     if wrap:
-        th1 = wrap_phase(th1)
-    return KuramotoOut(th1, dtheta, r, psi_r, psi)
+        theta1 = wrap_phase(theta1)
+    return theta1, {"R": r, "psi_r": psi_r, "dtheta": dtheta}
 
 
-@partial(jax.jit, static_argnames=("n_steps", "psi_mode", "wrap"))
-def run_kuramoto(
-    theta0: jnp.ndarray,
-    omega: jnp.ndarray,
-    *,
-    dt,
-    k,
-    alpha=0.0,
-    zeta=0.0,
-    psi_driver=0.0,
-    psi_mode: str = "external",
-    wrap: bool = True,
-    n_steps: int = 1000,
-):
-    """Run a phase trajectory; returns (theta_final, traces{R, V, lambda})."""
-    psi_d = jnp.asarray(psi_driver)
+class KuramotoTrace(NamedTuple):
+    theta: jnp.ndarray       # (n_steps, N)
+    r: jnp.ndarray           # (n_steps,)
+    v: jnp.ndarray           # (n_steps,) Lyapunov V against the driver
+    lambda_exp: jnp.ndarray  # scalar
 
-    def step(th, _):
-        out = kuramoto_sakaguchi_step(
-            th, omega, dt=dt, k=k, alpha=alpha, zeta=zeta,
-            psi_driver=psi_d, psi_mode=psi_mode, wrap=wrap)
-        v = lyapunov_v(out.theta1, out.psi)
-        return out.theta1, {"r": out.r, "v": v}
 
-    theta_f, trace = jax.lax.scan(step, theta0, None, length=n_steps)
-    lam = lyapunov_exponent(trace["v"], dt)
-    return theta_f, {"r": trace["r"], "v": trace["v"], "lyapunov": lam,
-                     "stable": lam < 0.0}
+@partial(jax.jit, static_argnames=("n_steps", "psi_mode"))
+def run_kuramoto(theta0, omega, *, dt, k_coupling, alpha=0.0, zeta=0.0,
+                 psi_external=0.0, psi_mode: str = "external",
+                 n_steps: int = 1000) -> KuramotoTrace:
+    """Whole trajectory in one scan with Lyapunov history."""
+    def step(theta, _):
+        psi = resolve_psi(theta, psi_external, psi_mode)
+        theta1, aux = kuramoto_step(
+            theta, omega, dt=dt, k_coupling=k_coupling, alpha=alpha,
+            zeta=zeta, psi=psi)
+        return theta1, (theta1, aux["R"], lyapunov_v(theta1, psi))
+
+    _, (thetas, rs, vs) = jax.lax.scan(step, theta0, None, length=n_steps)
+    return KuramotoTrace(thetas, rs, vs, lyapunov_exponent(vs, dt))
