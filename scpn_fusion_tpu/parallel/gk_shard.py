@@ -1,0 +1,118 @@
+"""Multi-chip sharding for the 5D nonlinear gyrokinetic state.
+
+TPU-native replacement for the reference's GK domain decomposition
+(``core/gk_domain_decomposition.py:25-144`` radial/toroidal rank-tile plans
+with halo extents, executed via ``ProcessPoolExecutor``): here the 5D state
+f(s, kx, ky, theta, vpar, mu) is laid out with a ``NamedSharding`` over a
+device mesh and the *same* jitted stepper runs SPMD — GSPMD partitions the
+program and inserts the collectives.
+
+Axis choice: velocity space (mu) is sharded.
+
+* Every term of the Vlasov RHS is elementwise in mu except the velocity
+  moments (density / current / pressure in the field solves and
+  diagnostics), which XLA lowers to an ``all_reduce`` over the ICI ring —
+  the cheapest possible collective pattern for this equation set.
+* The spectral (kx, ky) FFT axes and the theta-connection axis stay local,
+  so no all-to-alls appear anywhere in the hot loop.
+* Batched parameter scans (ensembles of flux tubes) additionally shard the
+  leading vmap axis over a data axis of the same mesh.
+
+The decomposition invariant mirrored from the reference's tests
+(tile-reductions == monolithic reductions, ``test_gk_domain_decomposition``)
+is enforced in ``tests/test_gk_nonlinear.py`` by running the same step
+sharded and unsharded.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scpn_fusion_tpu.models.gyrokinetics.nonlinear import (
+    GKState,
+    NonlinearGKConfig,
+    _run_compiled,
+    build_grids,
+    init_state,
+)
+
+
+def velocity_mesh(n_devices: int | None = None,
+                  devices=None) -> Mesh:
+    """1D mesh over the 'v' (velocity / mu) axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    import numpy as np
+    return Mesh(np.asarray(devices), axis_names=("v",))
+
+
+def state_sharding(mesh: Mesh) -> NamedSharding:
+    """f is sharded along mu (last axis); time replicated."""
+    return NamedSharding(mesh, P(None, None, None, None, None, "v"))
+
+
+def shard_state(state: GKState, mesh: Mesh) -> GKState:
+    f = jax.device_put(state.f, state_sharding(mesh))
+    time = jax.device_put(state.time, NamedSharding(mesh, P()))
+    return GKState(f=f, time=time)
+
+
+def run_nonlinear_gk_sharded(cfg: NonlinearGKConfig, mesh: Mesh,
+                             geometry=None, state: GKState | None = None,
+                             amplitude: float = 1e-5, seed: int = 42):
+    """Same compiled program as the single-chip path, SPMD over `mesh`.
+
+    cfg.n_mu must be divisible by the mesh size.
+    """
+    if cfg.n_mu % mesh.devices.size != 0:
+        raise ValueError(
+            f"n_mu={cfg.n_mu} not divisible by mesh size {mesh.devices.size}")
+    g = build_grids(cfg, geometry)
+    if state is None:
+        state = init_state(cfg, g, amplitude=amplitude, seed=seed)
+    state = shard_state(state, mesh)
+    # Grids touched along mu (maxwellian, energy, mu nodes) are small and
+    # stay replicated; GSPMD slices them against the sharded operand.
+    final, trace = _run_compiled(cfg, g, state)
+    return final, trace
+
+
+def ensemble_mesh(n_data: int, n_v: int, devices=None) -> Mesh:
+    """2D (data, v) mesh for sharded flux-tube ensembles."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_data * n_v]).reshape(n_data, n_v)
+    return Mesh(devices, axis_names=("data", "v"))
+
+
+def run_gk_ensemble_sharded(cfg: NonlinearGKConfig, mesh: Mesh,
+                            seeds: jnp.ndarray, amplitude: float = 1e-5,
+                            geometry=None):
+    """vmap over ensemble members, members sharded over the 'data' axis and
+    each member's mu axis over 'v' (reproduces the reference's batched
+    amortisation study, RESULTS.md "Predictive Free-Boundary Forward",
+    applied to the GK lane)."""
+    g = build_grids(cfg, geometry)
+
+    def one(seed):
+        st = init_state(cfg, g, amplitude=amplitude, seed=0)
+        # fold_in the member id for decorrelated initial noise
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        kr, ki = jax.random.split(key)
+        noise = (jax.random.normal(kr, st.f.shape)
+                 + 1j * jax.random.normal(ki, st.f.shape)).astype(st.f.dtype)
+        st = GKState(f=st.f + amplitude * 0.1 * noise, time=st.time)
+        return _run_compiled(cfg, g, st)
+
+    sharding = NamedSharding(
+        mesh, P("data", None, None, None, None, None, "v"))
+    batched = jax.jit(jax.vmap(one), out_shardings=(
+        GKState(f=sharding, time=NamedSharding(mesh, P("data"))),
+        None,
+    ))
+    return batched(seeds)
