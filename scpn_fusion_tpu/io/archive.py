@@ -173,7 +173,7 @@ def load_machine_profiles(machine: str, shot: int, *,
         raise FileNotFoundError(f"no reference profiles for "
                                 f"{machine}#{shot} under {root}")
     record_fallback_event("archive", "synthetic_profiles",
-                          detail=f"{machine}#{shot}")
+                          {"machine": machine, "shot": int(shot)})
     return synthetic_machine_profiles(machine, shot)
 
 
@@ -190,7 +190,7 @@ def fetch_mdsplus_profiles(machine: str, shot: int, *,
         import MDSplus  # type: ignore  # noqa: F401
     except ImportError:
         record_fallback_event("archive", "mdsplus_unavailable",
-                              detail=f"{machine}#{shot}")
+                              {"machine": machine, "shot": int(shot)})
         return synthetic_machine_profiles(machine, shot)
     raise NotImplementedError(
         "live MDSplus fetch requires a configured server")
