@@ -9,3 +9,36 @@ from scpn_fusion_tpu.control.flight_sim import (  # noqa: F401
     FlightSimParams,
     run_shot_reduced,
 )
+from scpn_fusion_tpu.control.federated import (  # noqa: F401
+    FederatedConfig,
+    predict_disruption_risk,
+    train_federated,
+)
+from scpn_fusion_tpu.control.realtime_efit import (  # noqa: F401
+    EFITModel,
+    MagneticsLayout,
+    build_efit_model,
+    reconstruct,
+)
+from scpn_fusion_tpu.control.scenario import (  # noqa: F401
+    FluxBudget,
+    ScenarioSchedule,
+    Waveform,
+    run_startup_sequence,
+    standard_shot_schedule,
+)
+from scpn_fusion_tpu.control.hil import (  # noqa: F401
+    LatencyReport,
+    control_rate_hz,
+    measure_dispatch_latency,
+    measure_fused_throughput,
+)
+from scpn_fusion_tpu.control.plasma_controllers import (  # noqa: F401
+    BurnControllerParams,
+    DensityControllerParams,
+    DetachmentControllerParams,
+    burn_controller_step,
+    density_controller_step,
+    run_detachment_loop,
+    sensor_vote,
+)

@@ -3,3 +3,14 @@ from scpn_fusion_tpu.models.equilibrium.fixed_boundary import (  # noqa: F401
     solve_equilibrium,
 )
 from scpn_fusion_tpu.models.equilibrium.vacuum import vacuum_psi  # noqa: F401
+from scpn_fusion_tpu.models.equilibrium.amr import (  # noqa: F401
+    AMRPatchResult,
+    refine_x_point,
+)
+from scpn_fusion_tpu.models.equilibrium.differentiable import (  # noqa: F401
+    PredictiveTheta,
+    axis_sensitivity,
+    build_predictive_model,
+    fixed_point_ift,
+    solve_predictive_diff,
+)

@@ -21,3 +21,23 @@ from scpn_fusion_tpu.models.gyrokinetics.quasilinear import (  # noqa: F401
     mixing_length_saturation,
     quasilinear_fluxes_from_spectrum,
 )
+from scpn_fusion_tpu.models.gyrokinetics.nonlinear import (  # noqa: F401
+    GKState,
+    GKTrace,
+    NonlinearGKConfig,
+    build_grids,
+    run_nonlinear_gk,
+)
+from scpn_fusion_tpu.models.gyrokinetics.hybrid import (  # noqa: F401
+    SchedulerConfig,
+    corrector_apply,
+    corrector_update,
+    fit_ood,
+    init_corrector,
+    init_learner,
+    learner_add,
+    learner_predict,
+    learner_refit,
+    ood_check,
+    schedule_spot_checks,
+)
