@@ -49,17 +49,34 @@ def _percentiles(samples_us: np.ndarray, n: int) -> LatencyReport:
 
 def measure_dispatch_latency(step_fn: Callable, args: tuple, *,
                              n_warmup: int = 10,
-                             n_samples: int = 200) -> LatencyReport:
+                             n_samples: int = 200,
+                             pipelined: bool = False) -> LatencyReport:
     """Per-call wall latency of ``step_fn(*args)`` (jitted, warm).
 
-    The result pytree's first leaf is blocked on each call so the timing
-    includes completion, not just dispatch.
+    ``pipelined=False`` blocks on completion every call — the synchronous
+    round-trip an external HIL rig sees per tick.  ``pipelined=True``
+    dispatches batches of calls and blocks once per batch — the amortised
+    per-call cost when the consumer does not need each result before the
+    next command (the realistic mode over a remote device tunnel, where
+    synchronous ping-pong is RTT-bound).
     """
     fn = jax.jit(step_fn) if not hasattr(step_fn, "lower") else step_fn
     out = fn(*args)
     for _ in range(n_warmup):
         out = fn(*args)
     jax.tree.leaves(out)[0].block_until_ready()
+
+    if pipelined:
+        batch = 20
+        n_batches = max(n_samples // batch, 3)
+        samples = np.empty(n_batches)
+        for i in range(n_batches):
+            t0 = time.perf_counter()
+            for _ in range(batch):
+                out = fn(*args)
+            jax.tree.leaves(out)[0].block_until_ready()
+            samples[i] = (time.perf_counter() - t0) * 1e6 / batch
+        return _percentiles(samples, n_batches)
 
     samples = np.empty(n_samples)
     for i in range(n_samples):
