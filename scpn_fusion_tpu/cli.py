@@ -135,6 +135,88 @@ def _mode_validate(args) -> int:
     return 0
 
 
+def _mode_design_scan(args) -> int:
+    from scpn_fusion_tpu.models.physics.design_scan import (
+        compact_reactor_search,
+    )
+
+    res = compact_reactor_search(n_samples=args.samples, seed=args.seed,
+                                 p_aux_mw=args.p_aux)
+    i = int(res.best_index)
+    pts = res.points
+    print(json.dumps({
+        "n_feasible_q10": int(res.n_feasible),
+        "best": {
+            "r_m": float(pts.r_m[i]), "a_m": float(pts.a_m[i]),
+            "b0_t": float(pts.b0_t[i]), "ip_ma": float(pts.ip_ma[i]),
+            "q_fusion": float(pts.q_fusion[i]),
+            "p_net_mw": float(pts.p_net_mw[i]),
+        },
+    }, indent=2))
+    return 0 if int(res.n_feasible) > 0 else 1
+
+
+def _mode_disruption(args) -> int:
+    from scpn_fusion_tpu.models.physics.disruption_sequence import (
+        DisruptionParams,
+        run_disruption_sequence,
+        structural_response_screen,
+    )
+
+    p = DisruptionParams(ip0_ma=args.ip)
+    _, s = run_disruption_sequence(p, spi_ne20_injected=args.spi,
+                                   spi_time_ms=0.2)
+    screen = structural_response_screen(s)
+    print(json.dumps({
+        "tau_cq_ms": float(s.tau_cq_ms),
+        "i_re_final_ma": float(s.i_re_final_ma),
+        "halo_peak_ma": float(s.halo_peak_ma),
+        "mitigated": bool(s.mitigated),
+        "structural_screen": screen,
+    }, indent=2))
+    return 0
+
+
+def _mode_startup(args) -> int:
+    from scpn_fusion_tpu.control.scenario import (
+        optimal_prefill_pressure,
+        run_startup_sequence,
+    )
+
+    p_pa = args.pressure if args.pressure is not None \
+        else optimal_prefill_pressure()
+    res = run_startup_sequence(v_loop=args.v_loop, p_pa=p_pa, r0_m=6.2,
+                               a_m=2.0)
+    print(json.dumps({
+        "prefill_pa": p_pa,
+        "breakdown_ok": bool(res.breakdown_ok),
+        "ionization_fraction": float(res.ionization_fraction),
+        "burn_through_ok": bool(res.burn_through_ok),
+        "succeeded": bool(res.succeeded),
+    }, indent=2))
+    return 0 if bool(res.succeeded) else 1
+
+
+def _mode_gk(args) -> int:
+    from scpn_fusion_tpu.models.gyrokinetics.nonlinear import (
+        NonlinearGKConfig,
+        run_nonlinear_gk,
+    )
+
+    n = args.grid
+    cfg = NonlinearGKConfig(n_kx=n, n_ky=n, n_theta=n, n_vpar=n,
+                            n_mu=max(n // 2, 2), n_steps=args.steps,
+                            save_interval=max(args.steps // 10, 1))
+    _, trace = run_nonlinear_gk(cfg)
+    print(json.dumps({
+        "q_ion_final_gb": float(trace.q_ion[-1]),
+        "phi_rms_final": float(trace.phi_rms[-1]),
+        "zonal_rms_final": float(trace.zonal_rms[-1]),
+        "n_saves": int(trace.times.shape[0]),
+    }, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="scpn-fusion-tpu",
@@ -180,6 +262,33 @@ def build_parser() -> argparse.ArgumentParser:
 
     v = sub.add_parser("validate", help="run the validation campaign")
     v.set_defaults(fn=_mode_validate)
+
+    d = sub.add_parser("design-scan",
+                       help="vmapped compact-reactor design search")
+    d.add_argument("--samples", type=int, default=2048)
+    d.add_argument("--p-aux", type=float, default=50.0)
+    d.add_argument("--seed", type=int, default=0)
+    d.set_defaults(fn=_mode_design_scan)
+
+    dis = sub.add_parser("disruption",
+                         help="staged disruption sequence + SPI scan")
+    dis.add_argument("--ip", type=float, default=15.0)
+    dis.add_argument("--spi", type=float, default=0.0,
+                     help="injected SPI inventory [1e20 m^-3]")
+    dis.set_defaults(fn=_mode_disruption)
+
+    st = sub.add_parser("startup", help="breakdown/burn-through screen")
+    st.add_argument("--v-loop", type=float, default=20.0)
+    st.add_argument("--pressure", type=float, default=None,
+                    help="prefill pressure [Pa] (default: Paschen optimum)")
+    st.set_defaults(fn=_mode_startup)
+
+    gk = sub.add_parser("gk", help="nonlinear 5D gyrokinetic run")
+    gk.add_argument("--steps", type=int, default=100)
+    gk.add_argument("--grid", type=int, default=8,
+                    help="kx=ky=theta=vpar grid size (mu = grid/2)")
+    gk.set_defaults(fn=_mode_gk)
+
     return p
 
 

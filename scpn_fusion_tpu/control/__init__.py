@@ -42,3 +42,14 @@ from scpn_fusion_tpu.control.plasma_controllers import (  # noqa: F401
     run_detachment_loop,
     sensor_vote,
 )
+from scpn_fusion_tpu.control.replay import (  # noqa: F401
+    ReplayConfig,
+    replay_shot,
+)
+from scpn_fusion_tpu.control.robust import (  # noqa: F401
+    MuSynthesisResult,
+    RWMFeedbackResult,
+    build_rwm_plant,
+    mu_synthesis,
+    rwm_feedback_design,
+)

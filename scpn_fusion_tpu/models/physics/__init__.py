@@ -9,3 +9,27 @@ from scpn_fusion_tpu.models.physics.hall_mhd_pulsed import (  # noqa: F401
     spitzer_resistivity_ohm_m,
     step_hall_mhd_pulsed,
 )
+from scpn_fusion_tpu.models.physics.disruption_sequence import (  # noqa: F401
+    DisruptionParams,
+    run_disruption_sequence,
+    spi_mitigation_scan,
+    structural_response_screen,
+)
+from scpn_fusion_tpu.models.physics.edge_events import (  # noqa: F401
+    blob_transport,
+    marfe_onset,
+    pellet_ablation,
+)
+from scpn_fusion_tpu.models.physics.mhd_modes import (  # noqa: F401
+    delta_prime_cylindrical,
+    locked_mode_evolution,
+    mrti_growth_rate,
+    rutherford_island_evolution,
+    tae_stability,
+)
+from scpn_fusion_tpu.models.physics.design_scan import (  # noqa: F401
+    DesignLimits,
+    compact_reactor_search,
+    evaluate_design,
+    scan_designs,
+)
