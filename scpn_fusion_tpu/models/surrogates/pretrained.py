@@ -1,0 +1,160 @@
+"""Pretrained surrogate artifacts: NPZ weights + checksummed metrics.
+
+Role-parity with the reference's committed surrogate artifacts
+(``weights/*.npz`` + ``weights/neural_transport_qlknn.metrics.json``,
+loaded by ``core/pretrained_surrogates.py`` / ``neural_transport*.py``):
+trained parameter sets ship in-repo as NPZ with a sidecar metrics JSON
+(sha256 of the weights, training config, held-out error), and loading is
+fail-closed — a checksum mismatch or missing metrics refuses to load.
+
+``train_transport_surrogate`` (re)builds the neural-transport artifact: an
+MLP mapping local dimensionless inputs [R/L_Ti, R/L_Te, R/L_ne, q, s_hat,
+Te/Ti, nu_star] -> [chi_i, chi_e, D_e] in gyro-Bohm units, trained on the
+framework's own physics closures (gyro-Bohm + Chang-Hinton + a critical-
+gradient ITG lane) — the same teacher-distillation role QLKNN plays in the
+reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scpn_fusion_tpu.models.surrogates.mlp import (
+    MLPParams,
+    init_mlp,
+    mlp_apply,
+    train_mlp,
+)
+
+WEIGHTS_DIR = Path(__file__).resolve().parents[3] / "weights"
+N_IN, N_OUT = 7, 3
+
+
+def _teacher_fluxes(x: np.ndarray) -> np.ndarray:
+    """Reduced physics teacher (gyro-Bohm units).
+
+    chi_i: critical-gradient ITG stiffness + neoclassical floor;
+    chi_e: TEM-like fraction of chi_i driven by R/L_Te and collisionality;
+    D_e: particle channel tied to R/L_ne with a pinch offset.
+    """
+    rlti, rlte, rlne, q, s_hat, te_ti, nu_star = x.T
+    rlti_crit = 4.0 * (1.0 + 0.5 * np.maximum(s_hat, 0.0)) / np.maximum(
+        te_ti, 0.3)
+    itg = np.maximum(rlti - rlti_crit, 0.0)
+    chi_i = 0.05 + 1.2 * q ** 1.5 * itg / (1.0 + 0.3 * nu_star)
+    tem = np.maximum(rlte - 3.5, 0.0)
+    chi_e = 0.03 + 0.6 * q * tem / (1.0 + 0.5 * nu_star) + 0.2 * chi_i
+    d_e = 0.02 + 0.3 * np.maximum(rlne - 1.0, 0.0) + 0.1 * chi_e
+    return np.stack([chi_i, chi_e, d_e], axis=1)
+
+
+def _sample_inputs(n: int, rng: np.random.Generator) -> np.ndarray:
+    return np.stack([
+        rng.uniform(1.0, 12.0, n),    # R/L_Ti
+        rng.uniform(1.0, 12.0, n),    # R/L_Te
+        rng.uniform(0.0, 6.0, n),     # R/L_ne
+        rng.uniform(1.0, 5.0, n),     # q
+        rng.uniform(-0.5, 2.5, n),    # s_hat
+        rng.uniform(0.3, 3.0, n),     # Te/Ti
+        rng.uniform(0.01, 1.0, n),    # nu_star
+    ], axis=1)
+
+
+def train_transport_surrogate(*, name: str = "neural_transport",
+                              n_train: int = 20_000, n_test: int = 2000,
+                              hidden=(64, 64), n_steps: int = 4000,
+                              seed: int = 0,
+                              out_dir: Path | None = None) -> dict:
+    """Train, evaluate, and write the NPZ + metrics artifact pair."""
+    rng = np.random.default_rng(seed)
+    x_tr = _sample_inputs(n_train, rng)
+    x_te = _sample_inputs(n_test, rng)
+    y_tr = _teacher_fluxes(x_tr)
+    y_te = _teacher_fluxes(x_te)
+
+    x_mean, x_std = x_tr.mean(0), x_tr.std(0) + 1e-9
+    y_mean, y_std = y_tr.mean(0), y_tr.std(0) + 1e-9
+    xn = jnp.asarray((x_tr - x_mean) / x_std, jnp.float32)
+    yn = jnp.asarray((y_tr - y_mean) / y_std, jnp.float32)
+
+    key = jax.random.PRNGKey(seed)
+    params = init_mlp(key, (N_IN, *hidden, N_OUT))
+    res = train_mlp(params, xn, yn, jax.random.fold_in(key, 1),
+                    n_steps=n_steps, batch_size=512, lr=1e-3)
+
+    pred = np.asarray(mlp_apply(
+        res.params, jnp.asarray((x_te - x_mean) / x_std, jnp.float32)))
+    pred = pred * y_std + y_mean
+    rel_l2 = float(np.linalg.norm(pred - y_te)
+                   / max(np.linalg.norm(y_te), 1e-30))
+
+    out = out_dir or WEIGHTS_DIR
+    out.mkdir(parents=True, exist_ok=True)
+    npz_path = out / f"{name}.npz"
+    arrays = {}
+    for i, (w, b) in enumerate(zip(res.params.weights, res.params.biases)):
+        arrays[f"w{i}"] = np.asarray(w)
+        arrays[f"b{i}"] = np.asarray(b)
+    arrays["x_mean"], arrays["x_std"] = x_mean, x_std
+    arrays["y_mean"], arrays["y_std"] = y_mean, y_std
+    np.savez(npz_path, **arrays)
+
+    metrics = {
+        "artifact": name,
+        "sha256": hashlib.sha256(npz_path.read_bytes()).hexdigest(),
+        "test_rel_l2": rel_l2,
+        "inputs": ["R_L_Ti", "R_L_Te", "R_L_ne", "q", "s_hat", "Te_Ti",
+                   "nu_star"],
+        "outputs": ["chi_i_gb", "chi_e_gb", "d_e_gb"],
+        "hidden": list(hidden),
+        "n_train": n_train,
+        "seed": seed,
+    }
+    (out / f"{name}.metrics.json").write_text(json.dumps(metrics, indent=2))
+    return metrics
+
+
+def load_transport_surrogate(name: str = "neural_transport",
+                             weights_dir: Path | None = None):
+    """Fail-closed load: checksum of the NPZ must match the metrics file.
+
+    Returns (predict_fn, metrics) where predict_fn maps (n, 7) inputs to
+    (n, 3) gyro-Bohm fluxes.
+    """
+    out = weights_dir or WEIGHTS_DIR
+    npz_path = out / f"{name}.npz"
+    metrics_path = out / f"{name}.metrics.json"
+    if not npz_path.exists() or not metrics_path.exists():
+        raise FileNotFoundError(f"missing artifact pair for {name!r} "
+                                f"under {out}")
+    metrics = json.loads(metrics_path.read_text())
+    actual = hashlib.sha256(npz_path.read_bytes()).hexdigest()
+    if metrics.get("sha256") != actual:
+        raise RuntimeError(
+            f"surrogate artifact checksum mismatch for {name!r}: "
+            "refusing to load (retrain with train_transport_surrogate)")
+    data = np.load(npz_path)
+    n_layers = sum(1 for k in data.files if k.startswith("w"))
+    params = MLPParams(
+        weights=tuple(jnp.asarray(data[f"w{i}"]) for i in range(n_layers)),
+        biases=tuple(jnp.asarray(data[f"b{i}"]) for i in range(n_layers)))
+    x_mean = jnp.asarray(data["x_mean"])
+    x_std = jnp.asarray(data["x_std"])
+    y_mean = jnp.asarray(data["y_mean"])
+    y_std = jnp.asarray(data["y_std"])
+
+    @jax.jit
+    def predict(x):
+        xn = (jnp.atleast_2d(x) - x_mean) / x_std
+        y = mlp_apply(params, xn.astype(jnp.float32)) * y_std + y_mean
+        # Diffusivities are non-negative by physical contract; the raw
+        # regressor can undershoot near the stiff critical gradient.
+        return jnp.maximum(y, 0.0)
+
+    return predict, metrics
