@@ -53,3 +53,9 @@ from scpn_fusion_tpu.control.robust import (  # noqa: F401
     mu_synthesis,
     rwm_feedback_design,
 )
+from scpn_fusion_tpu.control.rmf import (  # noqa: F401
+    PLLParams,
+    RMFParams,
+    run_phase_lock,
+    run_rmf_spinup,
+)
