@@ -200,13 +200,25 @@ def standard_shot_schedule(*, ip_flat_ma: float = 15.0,
                            ramp_s: float = 60.0, flattop_s: float = 300.0,
                            ne_flat_19: float = 10.0,
                            p_aux_flat_mw: float = 50.0) -> ScenarioSchedule:
-    """Ramp-up / flattop / ramp-down template shot."""
+    """Ramp-up / flattop / ramp-down template shot.
+
+    Density is STAGED (ITER-style H-mode access): the Ip ramp ends at half
+    the flattop density — where the Martin L-H threshold is low enough for
+    the auxiliary power to cross it — and the density completes its ramp
+    early in the flattop once alpha heating holds the plasma inside the
+    H-mode hysteresis band.
+    """
     end = 2 * ramp_s + flattop_s
+    t_full_ne = ramp_s + 0.3 * flattop_s
     return ScenarioSchedule(waveforms=(
         ("ip_ma", Waveform((0.0, ramp_s, ramp_s + flattop_s, end),
                            (0.1, ip_flat_ma, ip_flat_ma, 0.1))),
-        ("ne19", Waveform((0.0, ramp_s, ramp_s + flattop_s, end),
-                          (0.5, ne_flat_19, ne_flat_19, 0.5))),
+        # Density pumps out FASTER than the current ramp-down so the
+        # Greenwald fraction stays below 1 through termination.
+        ("ne19", Waveform((0.0, ramp_s, t_full_ne, ramp_s + flattop_s,
+                           ramp_s + flattop_s + 0.5 * ramp_s, end),
+                          (0.5, 0.5 * ne_flat_19, ne_flat_19, ne_flat_19,
+                           0.3, 0.3))),
         ("p_aux_mw", Waveform((0.0, 0.5 * ramp_s, ramp_s,
                                ramp_s + flattop_s, end),
                               (0.0, 0.0, p_aux_flat_mw, p_aux_flat_mw,
