@@ -59,3 +59,9 @@ from scpn_fusion_tpu.control.rmf import (  # noqa: F401
     run_phase_lock,
     run_rmf_spinup,
 )
+from scpn_fusion_tpu.control.surrogate_mpc import (  # noqa: F401
+    DynamicsSurrogate,
+    learn_dynamics,
+    surrogate_mpc_closed_loop,
+    surrogate_mpc_plan,
+)

@@ -33,3 +33,12 @@ from scpn_fusion_tpu.models.physics.design_scan import (  # noqa: F401
     evaluate_design,
     scan_designs,
 )
+from scpn_fusion_tpu.models.physics.integrated_scenario import (  # noqa: F401
+    ScenarioMachine,
+    run_shot,
+)
+from scpn_fusion_tpu.models.physics.sandpile import (  # noqa: F401
+    SandpileConfig,
+    avalanche_statistics,
+    run_sandpile,
+)
