@@ -65,3 +65,9 @@ from scpn_fusion_tpu.control.surrogate_mpc import (  # noqa: F401
     surrogate_mpc_closed_loop,
     surrogate_mpc_plan,
 )
+from scpn_fusion_tpu.control.optimal_scenario import (  # noqa: F401
+    OptimizerConfig,
+    ShotKnobs,
+    optimize_shot,
+    shot_objective,
+)
