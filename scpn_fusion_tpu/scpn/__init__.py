@@ -7,3 +7,7 @@ from scpn_fusion_tpu.scpn.controller import (  # noqa: F401
     initial_controller_state,
     run_controller,
 )
+from scpn_fusion_tpu.scpn.proof_manifest import (  # noqa: F401
+    build_proof_manifest,
+    verify_manifest_matches,
+)

@@ -157,23 +157,25 @@ class StochasticPetriNet:
     # ── Monte-Carlo verification (reference :433-528) ────────────────
 
     def verify_boundedness(self, n_steps: int = 200, n_trials: int = 16,
-                           seed: int = 0) -> dict:
-        """Check markings stay in [0, 1]^nP under random exogenous injection
-        using the float dynamics (clip-free accumulation check)."""
+                           seed: int = 0, bound: float = 3.0) -> dict:
+        """Monte-Carlo boundedness: markings must stay below ``bound``
+        under random exogenous injection with the RAW (un-clipped) firing
+        dynamics — a place that only accumulates (no consumer) grows
+        linearly and fails; conservative nets see at most a one-firing
+        transient above 1 (reference ``structure.py:433`` contract)."""
         net = self._compiled or self.compile()
         rng = np.random.default_rng(seed)
         max_token = 0.0
         for _ in range(n_trials):
             m = net.initial_marking.copy()
             for _ in range(n_steps):
-                m_in = np.clip(m + 0.1 * rng.random(net.n_places), 0.0, 1.0)
+                m_in = np.maximum(m + 0.1 * rng.random(net.n_places), 0.0)
                 a = net.w_in @ m_in
                 f = (a >= net.thresholds).astype(float)
-                m = m_in - net.w_in.T @ f + net.w_out @ f
+                m = np.maximum(m_in - net.w_in.T @ f + net.w_out @ f, 0.0)
                 max_token = max(max_token, float(np.max(m)))
-                m = np.clip(m, 0.0, 1.0)
-        return {"bounded": max_token <= 1.0 + 1e-9, "max_token": max_token,
-                "bound": 1.0}
+        return {"bounded": max_token <= bound, "max_token": max_token,
+                "bound": bound}
 
     def verify_liveness(self, n_steps: int = 200, n_trials: int = 16,
                         seed: int = 0) -> dict:
