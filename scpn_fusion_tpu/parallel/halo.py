@@ -29,9 +29,20 @@ from scpn_fusion_tpu.ops.stencil import stencil_coeffs
 
 
 def make_z_mesh(n_devices: int | None = None, axis: str = "z") -> Mesh:
-    """1D device mesh over the Z (slab) axis."""
+    """1D device mesh over the Z (slab) axis.
+
+    Raises (rather than silently truncating) when the backend exposes fewer
+    devices than requested — a 1-chip backend cannot host an 8-way slab mesh
+    (ADVICE.md r1 high).
+    """
     devs = jax.devices()
     n = n_devices if n_devices is not None else len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            f"make_z_mesh: requested {n} devices, backend has {len(devs)} "
+            f"({devs[0].platform}); force the CPU host platform with "
+            "--xla_force_host_platform_device_count before first JAX use"
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 
