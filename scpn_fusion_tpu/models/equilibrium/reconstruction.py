@@ -1,0 +1,458 @@
+"""Real-shot strict-accuracy reconstruction: measured-external-source GS lane.
+
+TPU-native port of the reference's real-data validation methodology
+(``validation/validate_real_diiid_145419.py:253-389`` full_domain_reproduction,
+artifact ``artifacts/real_diiid_145419/real_145419_validation.json``:
+deep RMS 1.91 % full-domain, 0.070 % shell-pinned):
+
+1. **COCOS normalisation** — the g-file may store psi ascending from axis to
+   boundary; we flip (psi -> -psi, p' -> -p', FF' -> -FF', an exact GS
+   symmetry) so psi is peaked at the axis (reference ``load_gfile``,
+   :128-148 "COCOS note").
+2. **Measured external source** — outside the axis-connected plasma region
+   (the connected component of ``psi_N < 1`` above the X-point containing the
+   axis) the source is pinned to the *measured* ``Delta* psi`` of the file,
+   which is exactly ``-mu0 R J_phi`` of the coils/legs/private flux
+   (reference :278-300).  This is what collapses the 13-22 % "vacuum outside"
+   error of a naive re-solve to the ~2 % level: g-file domains contain PF-coil
+   cross-sections that are NOT vacuum.
+3. **Model source inside** — ``S = -(mu0 R^2 p'(psi_N) + FF'(psi_N))`` with
+   the file-sampled profiles, optional n x n **sub-cell averaging**
+   (reference ``jax_free_boundary_gs.py:193-215``), a smooth LCFS roll-off
+   weight (reference ``jax_plasma_support.py:soft_lcfs_weight``), and Ip
+   renormalised each iteration to the *measured plasma-region current*
+   (reference :311-316).
+4. **Anderson(m) outer acceleration** around the inner Dirichlet elliptic
+   solve (reference :360-377) — here the inner solve is geometric multigrid
+   V-cycles (TPU-native; the reference uses a sparse LU on host).
+5. **Shell pinning** (``model_psin_max < 1``) — the attribution diagnostic:
+   the model source is applied only where ``psi_N < model_psin_max`` and the
+   measured ``Delta* psi`` is kept in the remaining pedestal shell
+   (reference :300-304, shell_pinning_attribution lane).
+
+Disclosure (mirroring the reference's D1 disclosure verbatim in spirit): the
+reproduction lane warm-starts from the file psi and anchors normalisation to
+the file's (psi_axis, psi_bnd) and the measured plasma-region Ip — it is a
+fixed-point consistency/reproduction check, NOT blind prediction.  The
+``init="external"`` cold-start lane exposes exactly that limitation (the
+zero-plasma absorbing state, reference map_structure evidence).
+
+The whole outer Anderson loop runs as ONE jitted ``lax.while_loop`` on
+device; only case preparation (connected-component labelling of the static
+file-derived plasma mask) runs on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scpn_fusion_tpu.core.grid import Grid
+from scpn_fusion_tpu.io.geqdsk import GEqdsk
+from scpn_fusion_tpu.ops.multigrid import _vcycle_impl
+from scpn_fusion_tpu.ops.stencil import apply_dirichlet
+
+MU0 = 4.0e-7 * np.pi
+
+
+def delta_star_np(psi: np.ndarray, r: np.ndarray, d_r: float, d_z: float) -> np.ndarray:
+    """Five-point ``Delta* = d_rr - (1/R) d_r + d_zz`` (NumPy, f64 host twin).
+
+    Matches ``ops/stencil.py:gs_operator`` and the reference's
+    ``build_delta_star`` (``validate_real_diiid_145419.py:180-198``).
+    Boundary ring is zero (the ring is Dirichlet, never sourced).
+    """
+    out = np.zeros_like(psi)
+    rc = r[None, 1:-1]
+    out[1:-1, 1:-1] = (
+        (psi[1:-1, 2:] - 2.0 * psi[1:-1, 1:-1] + psi[1:-1, :-2]) / d_r**2
+        - (psi[1:-1, 2:] - psi[1:-1, :-2]) / (2.0 * d_r * rc)
+        + (psi[2:, 1:-1] - 2.0 * psi[1:-1, 1:-1] + psi[:-2, 1:-1]) / d_z**2
+    )
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconCase:
+    """Host-prepared (NumPy f64) static data for one g-file reconstruction."""
+
+    r: np.ndarray               # (NR,)
+    z: np.ndarray               # (NZ,)
+    psi: np.ndarray             # (NZ, NR) psi-peaked convention
+    lap: np.ndarray             # measured Delta* psi
+    plasma: np.ndarray          # bool: axis-connected psi_N<1 above X-point
+    model_region: np.ndarray    # bool: plasma & psi_N < model_psin_max
+    external: np.ndarray        # measured source outside the model region
+    ip_model: float             # measured current integral over model_region
+    psi_axis: float
+    psi_bnd: float
+    span: float                 # |psi_axis - psi_bnd|
+    pprime: np.ndarray          # sign-adjusted file profiles on uniform psi_N
+    ffprime: np.ndarray
+    flipped: bool
+    model_psin_max: float
+    has_x_point: bool
+    source_convention: str         # snapped convention name
+    source_scale: float            # multiplier applied to p'/FF'
+    source_best_fit_scale: float   # raw best-fit (deep region)
+    source_best_fit_rel_l2: float  # shape residual after best-fit scaling
+
+
+def prepare_case(eq: GEqdsk, *, model_psin_max: float = 1.0) -> ReconCase:
+    """Host-side case preparation (static masks from the FILE psi only)."""
+    r = np.asarray(eq.r, np.float64)
+    z = np.asarray(eq.z, np.float64)
+    psi = np.asarray(eq.psirz, np.float64)
+    pprime = np.asarray(eq.pprime, np.float64)
+    ffprime = np.asarray(eq.ffprime, np.float64)
+    psi_axis, psi_bnd = float(eq.simag), float(eq.sibry)
+
+    flipped = psi_axis < psi_bnd  # file stores psi ascending -> flip to peaked
+    if flipped:
+        psi, pprime, ffprime = -psi, -pprime, -ffprime
+        psi_axis, psi_bnd = -psi_axis, -psi_bnd
+
+    d_r, d_z = float(r[1] - r[0]), float(z[1] - z[0])
+    nz, nr = psi.shape
+    lap = delta_star_np(psi, r, d_r, d_z)
+    span = abs(psi_axis - psi_bnd)
+    psin_map = (psi - psi_axis) / (psi_bnd - psi_axis)
+
+    # Axis: interior argmax of the peaked psi.
+    iz_ax, ir_ax = np.unravel_index(np.argmax(psi[2:-2, 2:-2]), (nz - 4, nr - 4))
+    iz_ax += 2
+    ir_ax += 2
+
+    # X-point: min |grad psi|^2 among near-separatrix cells below the axis
+    # (reference :258-266; the 0.3 m offset generalised to 15 % of the Z
+    # extent so SPARC-scale machines work too).
+    gz, gr = np.gradient(psi, d_z, d_r)
+    g2 = gz**2 + gr**2
+    zzg = np.broadcast_to(z[:, None], psi.shape)
+    z_off = 0.15 * (z[-1] - z[0])
+    sep = (np.abs(psin_map - 1.0) < 0.02) & (zzg < z[iz_ax] - z_off)
+    has_x = bool(sep.any())
+    if has_x:
+        iz_x, _ = np.unravel_index(np.argmin(np.where(sep, g2, np.inf)), g2.shape)
+        above = zzg > z[iz_x]
+    else:  # limited plasma: no Z cut
+        above = np.ones_like(psi, dtype=bool)
+
+    from scipy import ndimage
+
+    lab, _ = ndimage.label((psin_map < 1.0) & above)
+    plasma = lab == lab[iz_ax, ir_ax]
+
+    model_region = plasma & (psin_map < model_psin_max) if model_psin_max < 1.0 else plasma
+    dA = d_r * d_z
+    rrg = np.broadcast_to(r[None, :], psi.shape)
+    ip_model = float(np.sum(-lap[model_region] / (MU0 * rrg[model_region])) * dA)
+    external = np.where(model_region, 0.0, lap)
+
+    # Source-convention attribution (reference `_source_best_fit_attribution`,
+    # benchmark_sparc_geqdsk_rmse.py:59-100, + the named public-SPARC 2pi
+    # adapter eqdsk.py:45-54): best-fit a global scale between the measured
+    # Delta*psi and the profile source over the deep plasma, snap to a
+    # documented convention factor when within 15 %, and rescale p'/FF'.
+    deep_attr = plasma & (psin_map < 0.8)
+    prof_src = -(MU0 * rrg**2 * np.interp(np.clip(psin_map, 0, 1),
+                                          np.linspace(0, 1, pprime.size), pprime)
+                 + np.interp(np.clip(psin_map, 0, 1),
+                             np.linspace(0, 1, ffprime.size), ffprime))
+    a_v, b_v = lap[deep_attr], prof_src[deep_attr]
+    bb = float(np.dot(b_v, b_v))
+    best_scale = float(np.dot(a_v, b_v) / bb) if bb > 1e-30 else float("nan")
+    rel_l2 = (float(np.linalg.norm(a_v - best_scale * b_v) / max(np.linalg.norm(a_v), 1e-30))
+              if np.isfinite(best_scale) else float("inf"))
+    candidates = {
+        "canonical": 1.0, "negated": -1.0,
+        "scaled_by_2pi": 2.0 * np.pi, "scaled_by_minus_2pi": -2.0 * np.pi,
+        "scaled_by_inv_2pi": 1.0 / (2.0 * np.pi),
+        "scaled_by_minus_inv_2pi": -1.0 / (2.0 * np.pi),
+    }
+    convention = min(candidates, key=lambda n: abs(best_scale - candidates[n]))
+    if abs(best_scale - candidates[convention]) / abs(candidates[convention]) > 0.15:
+        convention = "unclassified_global_scale"
+        scale_applied = 1.0
+    else:
+        scale_applied = candidates[convention]
+    pprime = pprime * scale_applied
+    ffprime = ffprime * scale_applied
+
+    return ReconCase(
+        r=r, z=z, psi=psi, lap=lap, plasma=plasma, model_region=model_region,
+        external=external, ip_model=ip_model, psi_axis=psi_axis,
+        psi_bnd=psi_bnd, span=span, pprime=pprime, ffprime=ffprime,
+        flipped=flipped, model_psin_max=float(model_psin_max), has_x_point=has_x,
+        source_convention=convention, source_scale=scale_applied,
+        source_best_fit_scale=best_scale, source_best_fit_rel_l2=rel_l2,
+    )
+
+
+def _model_source(
+    psi: jnp.ndarray,
+    rr: jnp.ndarray,
+    d_r: float,
+    psi_axis: jnp.ndarray,
+    psi_bnd: jnp.ndarray,
+    pprime: jnp.ndarray,
+    ffprime: jnp.ndarray,
+    subcell: int,
+    cutoff_width: float,
+) -> jnp.ndarray:
+    """``S = -(mu0 R^2 p' + FF')`` with soft LCFS weight and sub-cell averaging.
+
+    Reference semantics: ``jax_free_boundary_gs.py:general_gs_source``
+    (:152-215) — sub-samples shift psi by the local gradient and R by the
+    sub-offset; the support weight is evaluated once on the unshifted field.
+    """
+    n_tab = pprime.shape[0]
+    denom = psi_bnd - psi_axis
+    denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+
+    def psin_raw(p):
+        return (p - psi_axis) / denom
+
+    def interp(psi_n, table):
+        x = jnp.clip(psi_n, 0.0, 1.0) * (n_tab - 1)
+        i0 = jnp.clip(x.astype(jnp.int32), 0, n_tab - 2)
+        frac = x - i0
+        return table[i0] * (1.0 - frac) + table[i0 + 1] * frac
+
+    pn0 = psin_raw(psi)
+    support = jax.nn.sigmoid((1.0 - pn0) / cutoff_width)
+
+    if subcell <= 1:
+        src = -(MU0 * rr**2 * interp(pn0, pprime) + interp(pn0, ffprime))
+        return src * support
+
+    g_z, g_r = jnp.gradient(psi)  # per index step
+    offsets = (jnp.arange(subcell, dtype=psi.dtype) + 0.5) / subcell - 0.5
+    acc = jnp.zeros_like(psi)
+    for a in offsets:
+        for b in offsets:
+            psi_s = psi + a * g_r + b * g_z
+            r_s = jnp.maximum(rr + a * d_r, 1e-6)
+            pn = psin_raw(psi_s)
+            acc = acc + -(MU0 * r_s**2 * interp(pn, pprime) + interp(pn, ffprime))
+    return (acc / (subcell * subcell)) * support
+
+
+class ReconCarry(NamedTuple):
+    k: jnp.ndarray
+    x: jnp.ndarray             # flattened psi iterate
+    step: jnp.ndarray
+    hist_x: jnp.ndarray        # (m, N)
+    hist_f: jnp.ndarray        # (m, N)
+    n_valid: jnp.ndarray
+
+
+class ReconResult(NamedTuple):
+    psi: jnp.ndarray
+    iterations: jnp.ndarray
+    step: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=(
+    "grid", "max_iter", "anderson_m", "subcell", "n_inner", "accel"))
+def _reconstruct_impl(
+    grid: Grid,
+    x0: jnp.ndarray,
+    psi_ring: jnp.ndarray,
+    model_mask: jnp.ndarray,
+    external: jnp.ndarray,
+    pprime: jnp.ndarray,
+    ffprime: jnp.ndarray,
+    psi_axis: jnp.ndarray,
+    psi_bnd: jnp.ndarray,
+    ip_model: jnp.ndarray,
+    tol: jnp.ndarray,
+    picard_omega: jnp.ndarray,
+    cutoff_width: jnp.ndarray,
+    *,
+    max_iter: int,
+    anderson_m: int,
+    subcell: int,
+    n_inner: int,
+    accel: str,
+) -> ReconResult:
+    r_1d, rr = grid.R, grid.RR
+    d_r, d_z = grid.dR, grid.dZ
+    dtype = x0.dtype
+    shape = grid.shape
+    n_flat = shape[0] * shape[1]
+    dA = d_r * d_z
+
+    def step_map(x: jnp.ndarray) -> jnp.ndarray:
+        psi = x.reshape(shape)
+        src_model = _model_source(
+            psi, rr, d_r, psi_axis, psi_bnd, pprime, ffprime,
+            subcell, cutoff_width)
+        ipm = jnp.sum(jnp.where(model_mask, -src_model / (MU0 * rr), 0.0)) * dA
+        scale = jnp.where(jnp.abs(ipm) > 1e-30, ip_model / ipm, 1.0)
+        src = jnp.where(model_mask, src_model * scale, external)
+        out = psi
+        for _ in range(n_inner):
+            out = _vcycle_impl(out, src, r_1d, d_r, d_z, 1.0, 3, 3, 5, 50, False)
+        return apply_dirichlet(out, psi_ring).reshape(-1)
+
+    m = anderson_m
+
+    def body(c: ReconCarry) -> ReconCarry:
+        f = step_map(c.x) - c.x
+        if accel == "picard":
+            x_new = c.x + picard_omega * f
+            hist_x, hist_f, n_valid = c.hist_x, c.hist_f, c.n_valid
+        else:
+            hist_x = jnp.roll(c.hist_x, -1, axis=0).at[-1].set(c.x)
+            hist_f = jnp.roll(c.hist_f, -1, axis=0).at[-1].set(f)
+            n_valid = jnp.minimum(c.n_valid + 1, m)
+            idx = jnp.arange(m)
+            pair_ok = idx[:-1] >= (m - n_valid)          # both rows valid
+            d_f = jnp.where(pair_ok[:, None], hist_f[1:] - hist_f[:-1], 0.0)
+            d_x = jnp.where(pair_ok[:, None], hist_x[1:] - hist_x[:-1], 0.0)
+            gram = d_f @ d_f.T + 1e-12 * jnp.eye(m - 1, dtype=dtype)
+            gamma = jnp.linalg.solve(gram, d_f @ f)
+            x_and = c.x + f - (d_x + d_f).T @ gamma
+            x_damp = c.x + 0.5 * f
+            x_new = jnp.where(n_valid >= 2, x_and, x_damp)
+            x_new = jnp.where(jnp.all(jnp.isfinite(x_new)), x_new, c.x + 0.3 * f)
+        step = jnp.max(jnp.abs(x_new - c.x))
+        return ReconCarry(c.k + 1, x_new, step, hist_x, hist_f, n_valid)
+
+    def cond(c: ReconCarry) -> jnp.ndarray:
+        return (c.k < max_iter) & (c.step >= tol) & jnp.isfinite(c.step)
+
+    init = ReconCarry(
+        k=jnp.int32(0), x=x0, step=jnp.asarray(1e30, dtype),  # finite: loop must start
+        hist_x=jnp.zeros((m, n_flat), dtype),
+        hist_f=jnp.zeros((m, n_flat), dtype),
+        n_valid=jnp.int32(0),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return ReconResult(
+        psi=final.x.reshape(shape), iterations=final.k, step=final.step)
+
+
+def reconstruct(
+    case: ReconCase,
+    *,
+    init: str = "reference",
+    accel: str = "anderson",
+    anderson_m: int = 8,
+    picard_omega: float = 0.5,
+    subcell: int = 1,
+    n_inner: int = 3,
+    max_iter: int = 200,
+    tol_rel: float = 1e-9,
+    cutoff_width: float = 0.03,
+    dtype=None,
+) -> dict:
+    """Run the reproduction lane; returns psi_fit + the reference metric set.
+
+    ``init="reference"`` warm-starts from the file psi (disclosed reproduction
+    mode); ``init="external"`` starts from the external-source-only solve
+    (zero plasma current — the basin probe, reference :348-356).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    nz, nr = case.psi.shape
+    grid = Grid.from_bounds(
+        nr, nz, float(case.r[0]), float(case.r[-1]),
+        float(case.z[0]), float(case.z[-1]),
+        dtype=np.dtype(np.float64 if dtype == jnp.float64 else np.float32),
+    )
+    psi_ref = jnp.asarray(case.psi, dtype)
+    ring = np.zeros_like(case.psi, dtype=bool)
+    ring[0, :] = ring[-1, :] = ring[:, 0] = ring[:, -1] = True
+
+    if init == "reference":
+        x0 = psi_ref.reshape(-1)
+    elif init == "external":
+        # External-source-only start: solve Delta* psi = external with the
+        # file ring (many V-cycles from the ring-padded zero field).
+        from scpn_fusion_tpu.ops.multigrid import mg_solve
+
+        rhs = jnp.asarray(np.where(case.model_region, 0.0, case.lap), dtype)
+        p0 = jnp.asarray(np.where(ring, case.psi, 0.0), dtype)
+        p0 = mg_solve(p0, rhs, grid.R, grid.dR, grid.dZ, n_cycles=60)
+        x0 = apply_dirichlet(p0, psi_ref).reshape(-1)
+    else:
+        raise ValueError(f"unknown init {init!r}")
+
+    res = _reconstruct_impl(
+        grid, x0, psi_ref,
+        jnp.asarray(case.model_region),
+        jnp.asarray(case.external, dtype),
+        jnp.asarray(case.pprime, dtype),
+        jnp.asarray(case.ffprime, dtype),
+        jnp.asarray(case.psi_axis, dtype),
+        jnp.asarray(case.psi_bnd, dtype),
+        jnp.asarray(case.ip_model, dtype),
+        jnp.asarray(tol_rel * case.span, dtype),
+        jnp.asarray(picard_omega, dtype),
+        jnp.asarray(cutoff_width, dtype),
+        max_iter=max_iter, anderson_m=anderson_m, subcell=subcell,
+        n_inner=n_inner, accel=accel,
+    )
+    psi_fit = np.asarray(res.psi, np.float64)
+    return {
+        "psi_fit": psi_fit,
+        "iterations": int(res.iterations),
+        "final_step": float(res.step),
+        **metrics(case, psi_fit),
+    }
+
+
+def metrics(case: ReconCase, psi_fit: np.ndarray) -> dict:
+    """The reference's full-domain metric set (``_full_domain_metrics``)."""
+    diff = psi_fit - case.psi
+    span = case.span
+    psin_map = (case.psi - case.psi_axis) / (case.psi_bnd - case.psi_axis)
+    deep = (psin_map < 0.8) & case.plasma
+    deep[:2, :] = deep[-2:, :] = False
+    deep[:, :2] = deep[:, -2:] = False
+    pl_i = case.plasma.copy()
+    pl_i[:2, :] = pl_i[-2:, :] = False
+    pl_i[:, :2] = pl_i[:, -2:] = False
+    rng = float(case.psi.max() - case.psi.min())
+    return {
+        "deep_rms_rel_span": float(np.sqrt(np.mean(diff[deep] ** 2))) / span
+        if deep.any() else float("nan"),
+        "deep_max_rel_span": float(np.max(np.abs(diff[deep]))) / span
+        if deep.any() else float("nan"),
+        "plasma_rms_rel_span": float(np.sqrt(np.mean(diff[pl_i] ** 2))) / span
+        if pl_i.any() else float("nan"),
+        "axis_value_rel_err": abs(float(np.max(psi_fit[2:-2, 2:-2])) - case.psi_axis) / span,
+        "global_max_rel_span": float(np.max(np.abs(diff))) / span,
+        "full_domain_rms_rel_span": float(np.sqrt(np.mean(diff**2))) / span,
+        "nrmse_range": float(np.sqrt(np.mean(diff**2))) / max(rng, 1e-30),
+    }
+
+
+def operator_residual(case: ReconCase) -> dict:
+    """Step-1 lane: does the file psi satisfy OUR discrete operator with the
+    file profiles?  (reference ``operator_residual``, :151-177)."""
+    rr = np.broadcast_to(case.r[None, :], case.psi.shape)
+    d_r = float(case.r[1] - case.r[0])
+    src = np.asarray(_model_source(
+        jnp.asarray(case.psi), jnp.asarray(rr), d_r,
+        jnp.asarray(case.psi_axis), jnp.asarray(case.psi_bnd),
+        jnp.asarray(case.pprime), jnp.asarray(case.ffprime),
+        1, jnp.asarray(0.03)), np.float64)
+    res = case.lap - src
+    lap_scale = float(np.max(np.abs(case.lap[2:-2, 2:-2])))
+    psin_map = (case.psi - case.psi_axis) / (case.psi_bnd - case.psi_axis)
+    deep = psin_map < 0.8
+    deep[:2, :] = deep[-2:, :] = False
+    deep[:, :2] = deep[:, -2:] = False
+    return {
+        "interior_rms_rel": float(np.sqrt(np.mean(res[2:-2, 2:-2] ** 2))) / lap_scale,
+        "deep_rms_rel": float(np.sqrt(np.mean(res[deep] ** 2))) / lap_scale,
+        "deep_max_rel": float(np.max(np.abs(res[deep]))) / lap_scale,
+    }

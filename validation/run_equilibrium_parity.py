@@ -90,8 +90,13 @@ def main() -> int:
             name="geqdsk_reconstruction",
             status="pass" if ok else "fail",
             metrics=metrics, thresholds=thresholds,
-            notes=("fixtures are synthetic (non-self-consistent); envelope "
-                   "gate matches the reference's honest public-fixture lane")))
+            notes=("repo-specific ENVELOPE gate on the naive vacuum-outside "
+                   "profile-source re-solve; the reference gates psi NRMSE "
+                   "at 0.05 (benchmark_sparc_geqdsk_rmse.py:31) — that "
+                   "strict parity lives in run_real_shot_accuracy.py "
+                   "(measured-external-source lane, all 5 SPARC files "
+                   "under 0.0031 NRMSE); this lane only regression-guards "
+                   "the simple solver path")))
 
     # ── Lane 3: NumPy-twin parity on the full nonlinear solve ──
     from scpn_fusion_tpu.core.config import (
