@@ -13,6 +13,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
+
 
 class EKFState(NamedTuple):
     x: jnp.ndarray   # (6,)
@@ -23,7 +25,8 @@ def ekf_init(x0: jnp.ndarray, p0: jnp.ndarray) -> EKFState:
     return EKFState(jnp.asarray(x0), jnp.asarray(p0))
 
 
-def measurement_matrix(dtype=jnp.float64) -> jnp.ndarray:
+def measurement_matrix(dtype=None) -> jnp.ndarray:
+    dtype = default_float() if dtype is None else canonical(dtype)
     h = jnp.zeros((4, 6), dtype)
     return h.at[0, 0].set(1.0).at[1, 1].set(1.0).at[2, 4].set(1.0).at[3, 5].set(1.0)
 

@@ -25,11 +25,20 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from typing import TYPE_CHECKING
+
 from scpn_fusion_tpu.control.scenario import FluxBudget, ScenarioSchedule, Waveform
-from scpn_fusion_tpu.models.physics.integrated_scenario import (
-    ScenarioMachine,
-    run_shot,
-)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from scpn_fusion_tpu.models.physics.integrated_scenario import ScenarioMachine
+
+# integrated_scenario imports control.scenario (-> control/__init__ -> this
+# module), so its symbols must be imported lazily to break the cycle.
+
+
+def _scenario_mod():
+    from scpn_fusion_tpu.models.physics import integrated_scenario
+    return integrated_scenario
 
 
 class ShotKnobs(NamedTuple):
@@ -76,10 +85,10 @@ def _schedule_from_knobs(k: ShotKnobs, cfg: OptimizerConfig
 
 
 def shot_objective(k: ShotKnobs, budget: FluxBudget,
-                   m: ScenarioMachine, cfg: OptimizerConfig):
+                   m: "ScenarioMachine", cfg: OptimizerConfig):
     """Negative soft-constrained Q (to MINIMISE); returns (loss, aux)."""
     sched = _schedule_from_knobs(k, cfg)
-    trace, report = run_shot(sched, budget, m, dt_s=cfg.dt_s)
+    trace, report = _scenario_mod().run_shot(sched, budget, m, dt_s=cfg.dt_s)
     # soft constraints from the trace (differentiable)
     flux_deficit = jnp.maximum(
         cfg.flux_margin_vs - jnp.min(trace.flux_remaining_vs), 0.0)
@@ -100,10 +109,12 @@ class OptimalShotResult(NamedTuple):
 
 
 def optimize_shot(k0: ShotKnobs, budget: FluxBudget,
-                  m: ScenarioMachine = ScenarioMachine(),
+                  m: "ScenarioMachine | None" = None,
                   cfg: OptimizerConfig = OptimizerConfig()
                   ) -> OptimalShotResult:
     """Adam on the differentiable shot objective with box projection."""
+    if m is None:
+        m = _scenario_mod().ScenarioMachine()
     lo = jnp.asarray([cfg.p_aux_bounds[0], cfg.ne_bounds[0],
                       cfg.ip_bounds[0]])
     hi = jnp.asarray([cfg.p_aux_bounds[1], cfg.ne_bounds[1],
@@ -116,8 +127,10 @@ def optimize_shot(k0: ShotKnobs, budget: FluxBudget,
 
     value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
     opt = optax.adam(cfg.learning_rate)
-    vec = jnp.asarray([k0.p_aux_flat_mw, k0.ne_flat_19, k0.ip_flat_ma],
-                      jnp.float64)
+    # No explicit dtype: inherit the default (f32 on TPU, f64 with x64 on
+    # CPU) so the knob vector matches the scenario constants' dtype instead
+    # of silently truncating with a per-call warning (ADVICE.md r1).
+    vec = jnp.asarray([k0.p_aux_flat_mw, k0.ne_flat_19, k0.ip_flat_ma])
     state = opt.init(vec)
     losses = []
     for _ in range(cfg.n_iters):

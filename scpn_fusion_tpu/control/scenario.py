@@ -23,6 +23,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
+
 MU0 = 4.0e-7 * jnp.pi
 E_CHARGE = 1.602176634e-19
 
@@ -83,13 +85,13 @@ def townsend_avalanche(*, v_loop: float, p_pa: float, r0_m: float,
         te1 = jnp.clip(te + dte, 0.5, 10.0)
         return (ne1, te1), (ne1, te1)
 
-    init = (jnp.asarray(seed_ne_m3, jnp.float64),
-            jnp.asarray(1.0, jnp.float64))
+    init = (jnp.asarray(seed_ne_m3, default_float()),
+            jnp.asarray(1.0, default_float()))
     _, (ne_tr, te_tr) = jax.lax.scan(step, init, jnp.arange(n_steps))
     frac = ne_tr[-1] / n_neutral
     full = ne_tr >= 0.99 * n_neutral
     t_full = jnp.where(jnp.any(full),
-                       jnp.argmax(full).astype(jnp.float64) * dt, jnp.inf)
+                       jnp.argmax(full).astype(default_float()) * dt, jnp.inf)
     return AvalancheTrace(ne_m3=ne_tr, te_ev=te_tr,
                           ionization_fraction=frac,
                           time_to_full_ionization_s=t_full)
@@ -119,7 +121,7 @@ def burn_through(*, v_loop: float, r0_m: float, a_m: float,
         dte = (p_ohmic - p_rad) * dt / (1.5 * ne * E_CHARGE)
         return jnp.clip(te + dte, 0.2, 1e4), jnp.clip(te + dte, 0.2, 1e4)
 
-    te0 = jnp.asarray(2.0, jnp.float64)
+    te0 = jnp.asarray(2.0, default_float())
     _, te_tr = jax.lax.scan(step, te0, jnp.arange(n_steps))
     return BurnThroughTrace(te_ev=te_tr, succeeded=te_tr[-1] > 100.0)
 

@@ -29,9 +29,21 @@ MAX_GRID_POINTS = 4096 * 4096
 MAX_CONTOUR_POINTS = 100_000
 
 # Fortran-style float: optional sign, digits with optional decimal point,
-# optional E/D exponent (possibly with no letter for 3-digit exponents).
+# optional E/D exponent — INCLUDING the bare-exponent form Fortran emits
+# when a 3-digit exponent squeezes out the 'E' ("1.5-101" == 1.5e-101).
+# The bare branch requires a decimal point in the mantissa and >= 2 exponent
+# digits so "1-2" in free text is not mis-tokenised (ADVICE.md r1 medium).
 _FLOAT_RE = re.compile(
-    r"[+-]?\d+\.?\d*(?:[EeDd][+-]?\d+)?|[+-]?\.\d+(?:[EeDd][+-]?\d+)?")
+    r"[+-]?(?:\d+\.\d*|\.\d+)(?:[EeDd][+-]?\d+|[+-]\d{2,3})?"
+    r"|[+-]?\d+(?:[EeDd][+-]?\d+)?")
+
+
+def _normalise_fortran_float(tok: str) -> str:
+    """Insert the elided 'E' in bare-exponent Fortran floats ("1.5-101")."""
+    m = re.match(r"^([+-]?(?:\d+\.\d*|\.\d+))([+-]\d{2,3})$", tok)
+    if m:
+        return m.group(1) + "E" + m.group(2)
+    return tok
 
 
 class GeqdskError(ValueError):
@@ -117,7 +129,7 @@ class GEqdsk:
 
 def _parse_float(tok: str, field_name: str) -> float:
     try:
-        v = float(tok.replace("D", "E").replace("d", "e"))
+        v = float(_normalise_fortran_float(tok).replace("D", "E").replace("d", "e"))
     except ValueError as exc:
         raise GeqdskError(f"GEQDSK {field_name}: bad float {tok!r}") from exc
     if not math.isfinite(v):

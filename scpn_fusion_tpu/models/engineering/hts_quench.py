@@ -22,6 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
+
 
 def _pos(name: str, v: float) -> float:
     if not math.isfinite(v) or v <= 0.0:
@@ -158,8 +160,8 @@ def simulate_quench_transient(c: REBCOConductor,
         v_term = jnp.where(dumping, i1 * c.dump_resistance_ohm, i1 * r_nz)
         return (i1, temp1), (t, i1, temp1, zone, v_term)
 
-    init = (jnp.asarray(c.operating_current_a, jnp.float64),
-            jnp.asarray(c.operating_temperature_k, jnp.float64))
+    init = (jnp.asarray(c.operating_current_a, default_float()),
+            jnp.asarray(c.operating_temperature_k, default_float()))
     _, (t, i, temp, zone, v) = jax.lax.scan(
         step, init, jnp.arange(s.n_steps))
     return QuenchTransient(t=t, current_a=i, hotspot_k=temp,

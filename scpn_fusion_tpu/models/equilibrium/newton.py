@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
+
 from scpn_fusion_tpu.core.config import ReactorConfig
 from scpn_fusion_tpu.core.grid import Grid
 from scpn_fusion_tpu.models.equilibrium.fixed_boundary import EquilibriumResult
@@ -189,9 +191,10 @@ def solve_equilibrium_newton(
     warmup_iters: int = 15,
     krylov_iters: int = 30,
     tol: float | None = None,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> NewtonResult:
     """Newton-Krylov equilibrium solve (reference method="newton" lane)."""
+    dtype = default_float() if dtype is None else canonical(dtype)
     if grid is None:
         import numpy as np
         grid = Grid.from_config(

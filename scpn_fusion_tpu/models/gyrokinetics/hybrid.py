@@ -30,6 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
+
 N_GK_FEATURES = 10
 
 # Scheduler reason codes (static-shape replacement for reason strings).
@@ -193,7 +195,8 @@ class CorrectorState(NamedTuple):
     alpha_d_e: jnp.ndarray
 
 
-def init_corrector(nr: int, dtype=jnp.float64) -> CorrectorState:
+def init_corrector(nr: int, dtype=None) -> CorrectorState:
+    dtype = default_float() if dtype is None else canonical(dtype)
     one = jnp.ones(nr, dtype)
     return CorrectorState(one, one, one)
 
@@ -252,7 +255,8 @@ class LearnerState(NamedTuple):
 
 
 def init_learner(capacity: int = 256, d: int = N_GK_FEATURES, m: int = 3,
-                 dtype=jnp.float64) -> LearnerState:
+                 dtype=None) -> LearnerState:
+    dtype = default_float() if dtype is None else canonical(dtype)
     return LearnerState(
         x_buf=jnp.zeros((capacity, d), dtype),
         y_buf=jnp.zeros((capacity, m), dtype),

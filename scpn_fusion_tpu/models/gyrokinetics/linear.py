@@ -31,6 +31,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
 import numpy as np
 
 from scpn_fusion_tpu.models.gyrokinetics.geometry import MillerGeometry, circular_geometry
@@ -91,9 +93,10 @@ def assemble_dispersion_matrix(
     nu_star: float = 0.01,
     include_drifts: bool = False,
     adiabatic_electrons: bool = True,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> jnp.ndarray:
     """Build the (n_theta, n_theta) complex dispersion matrix at one k_y."""
+    dtype = default_float() if dtype is None else canonical(dtype)
     n_theta = geom.theta.shape[0]
     b_ratio = geom.b_mag / jnp.mean(geom.b_mag)
     energy, e_w, lam, l_w = vgrid.nodes(dtype)

@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
+
 from scpn_fusion_tpu.models.gyrokinetics.species import VelocityGrid, bessel_j0
 
 
@@ -56,7 +58,7 @@ def solve_local_kinetic_dispersion(
     Conventions: omega in c_s/R units; ion diamagnetic direction is
     negative omega_r (ITG).  Adiabatic electrons contribute 1/tau.
     """
-    energy, e_w, lam, l_w = vgrid.nodes(jnp.float64)
+    energy, e_w, lam, l_w = vgrid.nodes(default_float())
     ee, ll = jnp.meshgrid(energy, lam, indexing="ij")
     we, wl = jnp.meshgrid(e_w, l_w, indexing="ij")
     ee, ll = ee.reshape(-1), ll.reshape(-1)

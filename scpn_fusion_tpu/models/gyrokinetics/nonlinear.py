@@ -35,6 +35,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
 import numpy as np
 
 
@@ -503,7 +505,7 @@ def init_state(cfg: NonlinearGKConfig, g: GKGrids, amplitude: float = 1e-5,
     f = f.at[:, 0, 0, :, :, :].set(0.0)
     return GKState(f=f, time=jnp.asarray(0.0, jnp.float32
                                          if cfg.dtype == "complex64"
-                                         else jnp.float64))
+                                         else default_float()))
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -12,6 +12,8 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
 import numpy as np
 
 E_CHARGE = 1.602176634e-19
@@ -76,7 +78,8 @@ class VelocityGrid:
         if self.n_lambda < 3:
             raise ValueError("n_lambda must be at least 3")
 
-    def nodes(self, dtype=jnp.float64):
+    def nodes(self, dtype=None):
+        dtype = default_float() if dtype is None else canonical(dtype)
         """Return (energy, energy_weights, lam, lambda_weights) as jnp arrays."""
         e_nodes, e_w = np.polynomial.legendre.leggauss(self.n_energy)
         l_nodes, l_w = np.polynomial.legendre.leggauss(self.n_lambda)

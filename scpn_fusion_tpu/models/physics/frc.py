@@ -21,6 +21,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
+
 MU0 = 4.0e-7 * jnp.pi
 
 
@@ -44,9 +46,10 @@ def solve_rigid_rotor(
     peak_density_m3: float = 1e20,
     n_points: int = 256,
     wall_radius_factor: float = 1.4,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> FRCEquilibriumState:
     """Solve the rigid-rotor FRC equilibrium on a uniform radial grid."""
+    dtype = default_float() if dtype is None else canonical(dtype)
     if separatrix_radius_m <= 0 or b_external_t <= 0 or sharpness_k <= 0:
         raise ValueError("b_external_t, separatrix_radius_m, sharpness_k must be > 0")
     r_s = jnp.asarray(separatrix_radius_m, dtype)

@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from scpn_fusion_tpu.core.dtypes import canonical, default_float
+
 from scpn_fusion_tpu.models.transport.solver import (
     build_cn_tridiag,
     explicit_diffusion_rhs,
@@ -61,7 +63,7 @@ def coronal_equilibrium(species: ImpuritySpecies, t_e_ev, n_total=1.0):
     Balance S_z n_z = R_{z+1} n_{z+1} gives the recursive ratios; the
     distribution is normalised to ``n_total``.
     """
-    z_states = jnp.arange(species.z_max + 1, dtype=jnp.float64)
+    z_states = jnp.arange(species.z_max + 1, dtype=default_float())
 
     def ratio(z):
         s = species.ionisation_rate(t_e_ev, z)

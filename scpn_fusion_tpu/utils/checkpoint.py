@@ -31,7 +31,9 @@ def save_checkpoint(
     path = Path(path)
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    npz_path = path.with_suffix(".npz")
+    # Append suffixes rather than with_suffix(): dotted names like
+    # "ckpt.step100" must not have ".step100" replaced (ADVICE.md r1).
+    npz_path = Path(str(path) + ".npz")
     np.savez_compressed(npz_path, **arrays)
 
     sha = hashlib.sha256(npz_path.read_bytes()).hexdigest()
@@ -44,7 +46,7 @@ def save_checkpoint(
         "payload_sha256": sha,
         "metadata": metadata or {},
     }
-    json_path = path.with_suffix(".json")
+    json_path = Path(str(path) + ".json")
     json_path.write_text(json.dumps(manifest, indent=2) + "\n")
     return json_path
 
@@ -53,10 +55,10 @@ def load_checkpoint(path: str | Path, example_state: Any) -> tuple[Any, dict]:
     """Load a checkpoint into the structure of ``example_state`` (fail-closed:
     checksum, leaf count, and shapes must match the manifest)."""
     path = Path(path)
-    manifest = json.loads(path.with_suffix(".json").read_text())
+    manifest = json.loads(Path(str(path) + ".json").read_text())
     if manifest.get("schema") != "scpn-fusion-tpu.checkpoint.v1":
         raise ValueError(f"unknown checkpoint schema: {manifest.get('schema')!r}")
-    npz_path = path.with_suffix(".npz")
+    npz_path = Path(str(path) + ".npz")
     sha = hashlib.sha256(npz_path.read_bytes()).hexdigest()
     if sha != manifest["payload_sha256"]:
         raise ValueError("checkpoint payload checksum mismatch")
@@ -72,4 +74,14 @@ def load_checkpoint(path: str | Path, example_state: Any) -> tuple[Any, dict]:
         if tuple(got.shape) != tuple(np.shape(want)):
             raise ValueError(
                 f"leaf {i} shape {got.shape} != expected {np.shape(want)}")
+        want_dtype = manifest["dtypes"].get(f"leaf_{i}")
+        if want_dtype is not None and str(got.dtype) != want_dtype:
+            raise ValueError(
+                f"leaf {i} dtype {got.dtype} != manifest dtype {want_dtype}")
+        # Guard the f64-payload-into-f32-pipeline hazard: when the example
+        # leaf is an array, its dtype is the pipeline contract.
+        if hasattr(want, "dtype") and got.dtype != np.dtype(want.dtype):
+            raise ValueError(
+                f"leaf {i} dtype {got.dtype} != expected pipeline dtype "
+                f"{np.dtype(want.dtype)}")
     return jax.tree.unflatten(treedef, leaves_loaded), manifest["metadata"]

@@ -119,3 +119,31 @@ def test_to_config_bridges_to_solver():
     assert cfg.NR == eq.nw and cfg.NZ == eq.nh
     assert cfg.dimensions.R_min == pytest.approx(1.0)
     assert cfg.physics.plasma_current_target == pytest.approx(1.2e6)
+
+
+def test_bare_exponent_three_digit(tmp_path):
+    """Legal EFIT output with a 3-digit exponent drops the 'E' ("1.5-101");
+    the tokenizer must parse it as one float, not shift the token stream
+    (ADVICE.md r1: a shifted stream silently corrupts every later array)."""
+    eq = _synthetic_eq()
+    eq.sibry = 1.5e-101
+    p = tmp_path / "bare.geqdsk"
+    write_geqdsk(eq, p)
+    # Fortran writes 1.5e-101 as "1.500000000-101" (no room for the E).
+    text = p.read_text().replace("1.500000000E-101", " 1.500000000-101")
+    text = text.replace("1.5000000000E-101", "1.5000000000-101")
+    assert "-101" in text
+    p.write_text(text)
+    eq2 = read_geqdsk(p)
+    np.testing.assert_allclose(eq2.sibry, 1.5e-101)
+    # The stream did NOT shift: psirz still round-trips.
+    np.testing.assert_allclose(eq2.psirz, eq.psirz, rtol=1e-8)
+
+
+def test_bare_exponent_does_not_split_adjacent_negatives():
+    from scpn_fusion_tpu.io.geqdsk import _FLOAT_RE
+    # Adjacent fixed-format fields: "-0.456" must stay a separate token,
+    # not become an exponent of the previous number.
+    assert _FLOAT_RE.findall("0.9722-0.2065") == ["0.9722", "-0.2065"]
+    assert _FLOAT_RE.findall("1.5-101") == ["1.5-101"]
+    assert _FLOAT_RE.findall("1.2E-10-0.23") == ["1.2E-10", "-0.23"]
