@@ -147,7 +147,8 @@ def _dummy_eq(grid: Grid, dtype, max_iter: int) -> EquilibriumResult:
 @partial(
     jax.jit,
     static_argnames=("cfg", "grid", "max_outer_iter", "tol", "optimize_shape",
-                     "tikhonov_alpha", "mu0_green", "use_pallas"),
+                     "tikhonov_alpha", "mu0_green", "use_pallas",
+                     "use_wall_response"),
 )
 def _run_free_boundary(
     coils: CoilSet,
@@ -160,9 +161,28 @@ def _run_free_boundary(
     tikhonov_alpha: float,
     mu0_green: float,
     use_pallas: bool,
+    use_wall_response: bool = False,
 ) -> FreeBoundaryResult:
     dtype = coils.currents.dtype
     g_table = external_flux_table(grid, coils, mu0_green)
+
+    wall = None
+    if use_wall_response:
+        # Von Hagenow wall response: the plasma's own flux contribution on
+        # the computational wall, one (n_wall x n_interior) matmul per outer
+        # iteration (reference jax_free_boundary_predictive.py:177-202).
+        # The matrix is geometry-only, so XLA hoists it into the compiled
+        # constant pool.  Memory ~ 4*NZ*NR*(2NZ+2NR) floats: fine to ~129^2.
+        from scpn_fusion_tpu.models.equilibrium.shape_control import (
+            plasma_wall_flux,
+            wall_response_matrix,
+        )
+        m_wall, b_idx, s_idx = wall_response_matrix(grid, mu0_green)
+        d_area = grid.dR * grid.dZ
+
+        def wall(j_phi):
+            return plasma_wall_flux(m_wall, b_idx, s_idx, j_phi, d_area,
+                                    grid.shape)
 
     m_ctrl = None
     if coils.target_flux_points is not None:
@@ -199,6 +219,8 @@ def _run_free_boundary(
 
     def body(c: _OuterCarry) -> _OuterCarry:
         psi_ext = jnp.einsum("c,czr->zr", c.currents, g_table)
+        if wall is not None:
+            psi_ext = psi_ext + wall(c.eq.j_phi)
         # init.psi is the vacuum flux, so iteration 0 starts from it; later
         # iterations keep the previous interior (preserve_initial_state
         # semantics) under the updated boundary map.
@@ -251,6 +273,7 @@ def solve_free_boundary(
     optimize_shape: bool = False,
     tikhonov_alpha: float = 1e-4,
     mu0_green: float | None = None,
+    use_wall_response: bool = False,
     dtype=jnp.float32,
 ) -> FreeBoundaryResult:
     """Free-boundary equilibrium: coil flux BC <-> inner GS solve outer loop.
@@ -280,4 +303,5 @@ def solve_free_boundary(
         tikhonov_alpha=float(tikhonov_alpha),
         mu0_green=float(mu0_green),
         use_pallas=cfg.solver.use_pallas and jax.default_backend() == "tpu",
+        use_wall_response=bool(use_wall_response),
     )

@@ -28,10 +28,18 @@ def bounded_lstsq(
     *,
     n_iter: int = 300,
 ) -> jnp.ndarray:
-    """Solve min ||A x - b||^2 subject to box bounds via projected FISTA."""
+    """Solve min ||A x - b||^2 subject to box bounds via projected FISTA.
+
+    The iteration warm-starts from the box-projected UNCONSTRAINED lstsq
+    solution: exact immediately when no bound is active (the common case),
+    and a near-optimal start otherwise — FISTA then only repairs the
+    active-set boundary, so ill-conditioned systems converge in far fewer
+    iterations than from a cold start.
+    """
     m, n = a.shape
-    if x0 is None:
-        x0 = jnp.zeros((n,), a.dtype)
+    x_uncon = jnp.linalg.lstsq(a, b)[0]
+    x0 = x_uncon if x0 is None else jnp.where(
+        jnp.all(jnp.isfinite(x_uncon)), x_uncon, x0)
     x0 = jnp.clip(x0, lb, ub)
 
     ata = a.T @ a
