@@ -21,6 +21,24 @@ from scpn_fusion_tpu.models.gyrokinetics.quasilinear import (  # noqa: F401
     mixing_length_saturation,
     quasilinear_fluxes_from_spectrum,
 )
+from scpn_fusion_tpu.models.gyrokinetics.interface import (  # noqa: F401
+    GKLocalParams,
+    GKSolverBase,
+)
+from scpn_fusion_tpu.models.gyrokinetics.registry import (  # noqa: F401
+    available_gk_solvers,
+    create_gk_solver,
+    gk_solver_class,
+    register_gk_solver,
+    registered_gk_solvers,
+    resolve_tglf_solver,
+)
+from scpn_fusion_tpu.models.gyrokinetics.tglf_native import (  # noqa: F401
+    TGLFNativeConfig,
+    TGLFNativeSolver,
+    tglf_native_fluxes,
+    tglf_native_fluxes_profile,
+)
 from scpn_fusion_tpu.models.gyrokinetics.nonlinear import (  # noqa: F401
     GKState,
     GKTrace,

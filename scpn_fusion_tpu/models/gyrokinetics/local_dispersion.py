@@ -40,7 +40,7 @@ class LocalDispersionResult(NamedTuple):
     converged: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("vgrid", "n_iter"))
+@partial(jax.jit, static_argnames=("vgrid", "n_iter", "kinetic_electrons"))
 def solve_local_kinetic_dispersion(
     k_y_rho_s,
     *,
@@ -52,11 +52,25 @@ def solve_local_kinetic_dispersion(
     vgrid: VelocityGrid = VelocityGrid(n_energy=24, n_lambda=16),
     omega_guess=complex(-0.5, 0.3),
     n_iter: int = 60,
+    kinetic_electrons: bool = False,
+    r_l_te=0.0,
+    nu_detrap=0.0,
 ) -> LocalDispersionResult:
     """Solve eps(omega) = 0 for the most-unstable local mode at one k_y.
 
     Conventions: omega in c_s/R units; ion diamagnetic direction is
-    negative omega_r (ITG).  Adiabatic electrons contribute 1/tau.
+    negative omega_r (ITG), electron direction positive (TEM).
+
+    Electron response: adiabatic (1/tau) by default.  With
+    ``kinetic_electrons=True`` the trapped fraction
+    f_t = sqrt(2 eps/(1+eps)) responds kinetically through a
+    bounce-averaged (deeply-trapped, transit-free) drift resonance —
+    the classic collisionless-TEM extension (Adam-Tang-Rutherford
+    family): the adiabatic electron term 1/tau becomes
+    ``(1 - f_t)/tau + (f_t/tau) K_e(omega)`` with
+    ``K_e = int F_M (omega - omega_*e(E)) / (omega - omega_De(E))``.
+    The reference's adapter lane reaches TEM only through external codes;
+    this native lane models it directly.
     """
     energy, e_w, lam, l_w = vgrid.nodes(default_float())
     ee, ll = jnp.meshgrid(energy, lam, indexing="ij")
@@ -83,6 +97,13 @@ def solve_local_kinetic_dispersion(
     eta_i = jnp.where(jnp.abs(r_l_n) > 1e-10, r_l_t / jnp.maximum(r_l_n, 1e-10), 0.0)
     omega_star = omega_star_n * (1.0 + eta_i * (ee - 1.5))
 
+    # Trapped-electron kinetic response pieces (only used when enabled).
+    f_t = jnp.sqrt(2.0 * epsilon_r / (1.0 + epsilon_r))
+    # Electron diamagnetic direction is positive; T_e enters as 1/tau.
+    omega_star_e = (k_y_rho_s / tau) * (r_l_n + r_l_te * (ee - 1.5))
+    # Deeply-trapped bounce-averaged curvature drift (transit-free).
+    omega_de = 0.5 * (k_y_rho_s / tau) * ee
+
     def epsilon_fn(omega):
         denom = omega - omega_d - k_par * v_par
         # Landau-safe: omega carries Im > 0 during iteration; add tiny +i0.
@@ -92,7 +113,15 @@ def solve_local_kinetic_dispersion(
         denom_m = omega - omega_d + k_par * v_par + 1e-12j
         integrand_m = fm * j0**2 * (omega - omega_star) / denom_m
         i_val = 0.5 * jnp.sum(integrand + integrand_m)
-        return 1.0 + 1.0 / tau - i_val
+        if not kinetic_electrons:
+            return 1.0 + 1.0 / tau - i_val
+        # K_e over the Maxwellian (J0 ~ 1 at electron gyroradius).
+        # nu_detrap = nu_star/epsilon broadens the precession resonance:
+        # collisional de-trapping interrupts the bounce-averaged drift
+        # before the wave-particle phase locks (Connor 1974 moderation).
+        k_e = jnp.sum(fm * (omega - omega_star_e)
+                      / (omega - omega_de + 1j * (nu_detrap + 1e-12)))
+        return 1.0 + (1.0 - f_t) / tau + (f_t / tau) * (1.0 - k_e) - i_val
 
     # Robust root find: coarse grid scan for the initial guess, then
     # damped Newton with the exact holomorphic derivative (jax.grad).
