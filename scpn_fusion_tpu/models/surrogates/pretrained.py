@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import json
 from pathlib import Path
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -55,14 +56,19 @@ def _teacher_fluxes(x: np.ndarray) -> np.ndarray:
 
 
 def _sample_inputs(n: int, rng: np.random.Generator) -> np.ndarray:
+    """Training envelope — covers the clipped bands the transport loop
+    feeds the closure (``solver._local_surrogate_inputs``), so in-loop
+    inputs are in-distribution by construction and the OOD gate fires on
+    genuine envelope exits (e.g. non-physical q excursions), not on
+    routine edge gradients."""
     return np.stack([
-        rng.uniform(1.0, 12.0, n),    # R/L_Ti
-        rng.uniform(1.0, 12.0, n),    # R/L_Te
-        rng.uniform(0.0, 6.0, n),     # R/L_ne
-        rng.uniform(1.0, 5.0, n),     # q
-        rng.uniform(-0.5, 2.5, n),    # s_hat
-        rng.uniform(0.3, 3.0, n),     # Te/Ti
-        rng.uniform(0.01, 1.0, n),    # nu_star
+        rng.uniform(0.0, 20.0, n),    # R/L_Ti
+        rng.uniform(0.0, 20.0, n),    # R/L_Te
+        rng.uniform(0.0, 20.0, n),    # R/L_ne
+        rng.uniform(0.8, 6.0, n),     # q
+        rng.uniform(-1.0, 4.0, n),    # s_hat
+        rng.uniform(0.05, 3.0, n),    # Te/Ti
+        10.0 ** rng.uniform(-3.0, 2.0, n),   # nu_star (log-uniform)
     ], axis=1)
 
 
@@ -118,6 +124,61 @@ def train_transport_surrogate(*, name: str = "neural_transport",
     }
     (out / f"{name}.metrics.json").write_text(json.dumps(metrics, indent=2))
     return metrics
+
+
+class TransportSurrogate(NamedTuple):
+    """Neural-transport closure as a PYTREE (flows through jit as a traced
+    argument — the transport loop swaps closures without recompiling)."""
+
+    params: MLPParams
+    x_mean: jnp.ndarray
+    x_std: jnp.ndarray
+    y_mean: jnp.ndarray
+    y_std: jnp.ndarray
+
+    def fluxes_gb(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(n, 7) local inputs -> (n, 3) gyro-Bohm fluxes, non-negative."""
+        xn = (x - self.x_mean) / self.x_std
+        y = mlp_apply(self.params, xn.astype(self.x_mean.dtype)) \
+            * self.y_std + self.y_mean
+        return jnp.maximum(y, 0.0)
+
+    def max_abs_z(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-row max |z-score| vs the TRAINING envelope — the OOD index
+        (reference ``_select_neural_ood_indices`` severity metric,
+        ``integrated_transport_solver_model.py:83-113``)."""
+        return jnp.max(jnp.abs((x - self.x_mean) / self.x_std), axis=-1)
+
+
+def load_transport_surrogate_pytree(
+    name: str = "neural_transport",
+    weights_dir: Path | None = None,
+) -> tuple[TransportSurrogate, dict]:
+    """Fail-closed load of the artifact as a :class:`TransportSurrogate`."""
+    out = weights_dir or WEIGHTS_DIR
+    npz_path = out / f"{name}.npz"
+    metrics_path = out / f"{name}.metrics.json"
+    if not npz_path.exists() or not metrics_path.exists():
+        raise FileNotFoundError(f"missing artifact pair for {name!r} "
+                                f"under {out}")
+    metrics = json.loads(metrics_path.read_text())
+    actual = hashlib.sha256(npz_path.read_bytes()).hexdigest()
+    if metrics.get("sha256") != actual:
+        raise RuntimeError(
+            f"surrogate artifact checksum mismatch for {name!r}: "
+            "refusing to load (retrain with train_transport_surrogate)")
+    data = np.load(npz_path)
+    n_layers = sum(1 for k in data.files if k.startswith("w"))
+    params = MLPParams(
+        weights=tuple(jnp.asarray(data[f"w{i}"]) for i in range(n_layers)),
+        biases=tuple(jnp.asarray(data[f"b{i}"]) for i in range(n_layers)))
+    surrogate = TransportSurrogate(
+        params=params,
+        x_mean=jnp.asarray(data["x_mean"], jnp.float32),
+        x_std=jnp.asarray(data["x_std"], jnp.float32),
+        y_mean=jnp.asarray(data["y_mean"], jnp.float32),
+        y_std=jnp.asarray(data["y_std"], jnp.float32))
+    return surrogate, metrics
 
 
 def load_transport_surrogate(name: str = "neural_transport",

@@ -24,11 +24,15 @@ Parity notes (formulas and constants match the reference):
   ``ne`` from quasi-neutrality incl. tungsten ``Z_W(log Te)``; ``Z_eff``
   from the charge-weighted sum (``runtime_physics.py:260-320``).
 
-Simplifications vs the reference in this round (documented, to be widened):
-the turbulent-backend zoo (``_compute_transport_backend_closure``) is
-represented by its default reduced-multichannel shape chi = chi_CH + chi_gB;
-tau_E for the He pump uses the stored-energy/power estimate rather than the
-IPB98 scaling chain.
+Turbulent-backend closures: the default reduced-multichannel shape
+chi = chi_CH + chi_gB, plus an optional NEURAL closure — the committed
+transport surrogate evaluated per radial point with per-point OOD-index
+fallback to the analytic closure (reference
+``integrated_transport_solver_model.py:83-160``), threaded through
+``evolve_profiles`` as a pytree so switching closures never recompiles.
+tau_E for the He pump follows the IPB98(y,2) scaling chain by default
+(``physics/scaling_burn.py``; reference ``scaling_laws.py:222-324``), with
+the stored-energy/power estimate as the opt-out.
 """
 
 from __future__ import annotations
@@ -62,6 +66,13 @@ class TransportParams:
     kappa: float = 1.7
     a_ion: float = 2.0
     c_gb: float = 1.0
+    ip_ma: float = 15.0
+    # He-pump timescale: IPB98(y,2) chain by default; False reverts to the
+    # stored-energy/power estimate (the round-1 documented simplification).
+    use_ipb98_tau_he: bool = True
+    # Neural-closure OOD gate: points whose max |z| vs the surrogate's
+    # training envelope exceeds this fall back to the analytic closure.
+    ood_sigma: float = 3.0
     multi_ion: bool = True
     t_edge_kev: float = 0.08
     d_species: float = 0.5
@@ -225,8 +236,28 @@ def _aux_heating(params: TransportParams, p_aux_mw, ne, rho):
 
 def _confinement_time_estimate(params: TransportParams, s: TransportState,
                                p_aux_mw, rho):
-    """tau_E = W / P from the current profiles (He-pump timescale input)."""
+    """tau_E for the He-pump timescale.
+
+    Default: the IPB98(y,2) scaling chain on volume-averaged density and
+    loss power (reference ``scaling_laws.py:222-324`` driving
+    ``tau_He = f * tau_E``); opt-out: the stored-energy/power estimate.
+    """
     d_v = _volume_element(params, rho)
+    if params.use_ipb98_tau_he:
+        from scpn_fusion_tpu.models.physics.scaling_burn import ipb98y2_tau_e
+
+        vol = jnp.maximum(jnp.sum(d_v), 1e-30)
+        ne_avg = jnp.clip(jnp.sum(s.ne * d_v) / vol, 0.1, 1e3)
+        # Loss power = aux + alpha heating (alpha from the DT rate).
+        sigmav = bosch_hale_sigmav(s.ti)
+        p_alpha_w = jnp.sum((s.n_d * s.n_t * sigmav) * 1e38
+                            * (3.52e3 * E_KEV_J) * d_v)
+        p_loss_mw = jnp.clip(p_aux_mw + p_alpha_w / 1e6, 0.5, 1e4)
+        tau = ipb98y2_tau_e(
+            jnp.asarray(params.ip_ma, s.ti.dtype), params.b0, ne_avg,
+            p_loss_mw, params.r0, params.kappa,
+            params.a_minor / params.r0)
+        return jnp.clip(tau, 0.05, 50.0)
     w_j = 1.5 * jnp.sum((s.ne * 1e19) * (s.ti + s.te) * E_KEV_J * d_v)
     p_w = jnp.maximum(p_aux_mw, 0.1) * 1e6
     return jnp.clip(w_j / p_w, 0.05, 50.0)
@@ -275,9 +306,57 @@ def _evolve_species(params: TransportParams, s: TransportState, dt,
                       z_eff=z_eff), p_rad_line
 
 
-def _transport_coefficients(params: TransportParams, s: TransportState):
-    """chi closures on the current state: Chang-Hinton base + gyro-Bohm
-    turbulent channel (the reference's default reduced-multichannel shape)."""
+_M_PROTON = 1.67262192369e-27
+_E_CHARGE = 1.602176634e-19
+
+
+def _local_surrogate_inputs(params: TransportParams, s: TransportState,
+                            rho: jnp.ndarray) -> jnp.ndarray:
+    """(nr, 7) local dimensionless inputs [R/L_Ti, R/L_Te, R/L_ne, q,
+    s_hat, Te/Ti, nu_star] for the neural closure (the committed
+    artifact's input convention, ``surrogates/pretrained.py``)."""
+    inv_scale = params.r0 / params.a_minor
+
+    def r_l(x):
+        grad = jnp.gradient(x, params.drho)
+        return jnp.clip(-inv_scale * grad / jnp.maximum(x, 1e-2), 0.0, 20.0)
+
+    dq = jnp.gradient(s.q, params.drho)
+    s_hat = jnp.clip(rho * dq / jnp.maximum(s.q, 0.2), -1.0, 4.0)
+    te_ti = jnp.clip(s.te / jnp.maximum(s.ti, 1e-2), 0.05, 10.0)
+    eps = jnp.maximum(rho * params.a_minor / params.r0, 1e-3)
+    # Banana-regime electron collisionality nu*_e =
+    # 6.9e-18 q R n_e Z_eff lnL / (T_e[eV]^2 eps^1.5); with n_e in
+    # 1e19 m^-3, T_e in keV and lnL = 17 the coefficient folds to 0.02.
+    nu_star = jnp.clip(
+        0.02 * s.ne * s.q * params.r0 * s.z_eff
+        / (jnp.maximum(s.te, 0.05) ** 2 * eps**1.5), 1e-3, 1e2)
+    return jnp.stack([r_l(s.ti), r_l(s.te), r_l(s.ne),
+                      s.q, s_hat, te_ti,
+                      jnp.broadcast_to(nu_star, rho.shape)], axis=1)
+
+
+def _gyro_bohm_unit(params: TransportParams, ti_kev: jnp.ndarray):
+    """chi_gB = rho_s^2 c_s / a per radial point [m^2/s]."""
+    m_i = params.a_ion * _M_PROTON
+    t_j = jnp.maximum(ti_kev, 0.01) * E_KEV_J
+    c_s = jnp.sqrt(t_j / m_i)
+    rho_s = m_i * c_s / (_E_CHARGE * params.b0)
+    return rho_s**2 * c_s / params.a_minor
+
+
+def _transport_coefficients(params: TransportParams, s: TransportState,
+                            surrogate=None):
+    """chi closures on the current state.
+
+    Analytic lane: Chang-Hinton base + gyro-Bohm turbulent channel (the
+    reference's default reduced-multichannel shape).  With ``surrogate``
+    (a ``TransportSurrogate`` pytree): neural fluxes per radial point,
+    falling back to the analytic closure wherever the point's max |z|
+    against the training envelope exceeds ``params.ood_sigma`` — the
+    reference's OOD-index selection inside the transport loop
+    (``integrated_transport_solver_model.py:83-160``) with the analytic
+    closure playing the escalation target."""
     rho = params.rho(s.ti.dtype)
     chi_nc = chang_hinton_chi(rho, s.ti, s.ne, s.q, params.r0,
                               params.a_minor, params.b0,
@@ -287,6 +366,17 @@ def _transport_coefficients(params: TransportParams, s: TransportState):
     chi_e = jnp.maximum(chi_nc + chi_gb, 1e-6)
     chi_i = jnp.maximum(chi_nc + chi_gb, 1e-6)
     d_n = jnp.maximum(0.5 * chi_gb, 0.1 * chi_nc)
+
+    if surrogate is not None:
+        x = _local_surrogate_inputs(params, s, rho)
+        y_gb = surrogate.fluxes_gb(x)              # (nr, 3) gyro-Bohm
+        unit = _gyro_bohm_unit(params, s.ti)
+        ood = surrogate.max_abs_z(x) > params.ood_sigma
+        pick = lambda nn, an: jnp.where(ood, an, jnp.maximum(nn, 1e-6))  # noqa: E731
+        chi_i = pick(y_gb[:, 0] * unit, chi_i)
+        chi_e = pick(y_gb[:, 1] * unit, chi_e)
+        d_n = pick(y_gb[:, 2] * unit, d_n)
+
     clip = lambda x: jnp.clip(x, 0.01, 1e4)  # noqa: E731
     return clip(chi_e), clip(chi_i), jnp.clip(d_n, 0.0, 1e4)
 
@@ -300,9 +390,12 @@ def evolve_profiles(
     dt: jnp.ndarray,
     p_aux_mw: jnp.ndarray,
     params: TransportParams,
+    surrogate=None,
 ) -> TransportState:
     """Advance the transport state by one CN step (reference
-    ``evolve_profiles``, ``runtime.py:294-530``)."""
+    ``evolve_profiles``, ``runtime.py:294-530``).  ``surrogate`` (optional
+    ``TransportSurrogate`` pytree) switches the chi closure to the neural
+    lane with per-point OOD fallback."""
     dtype = s.ti.dtype
     rho = params.rho(dtype)
     drho = params.drho
@@ -347,7 +440,8 @@ def evolve_profiles(
     def body(carry):
         k, ti_c, te_c, chi_i_c, chi_e_c, d_n_c, _ = carry
         trial = s._replace(ti=ti_c, te=te_c)
-        chi_e_pred, chi_i_pred, d_n_pred = _transport_coefficients(params, trial)
+        chi_e_pred, chi_i_pred, d_n_pred = _transport_coefficients(
+            params, trial, surrogate)
         chi_i_t = (1.0 - theta) * chi_i_n + theta * chi_i_pred
         chi_e_t = (1.0 - theta) * chi_e_n + theta * chi_e_pred
         d_n_t = (1.0 - theta) * d_n_n + theta * d_n_pred
@@ -381,11 +475,12 @@ def run_transport(
     p_aux_mw: jnp.ndarray,
     params: TransportParams,
     n_steps: int,
+    surrogate=None,
 ) -> tuple[TransportState, dict]:
     """Run ``n_steps`` transport steps under ``lax.scan``, returning the
     final state and per-step core-temperature traces."""
     def step(state, _):
-        new = evolve_profiles(state, dt, p_aux_mw, params)
+        new = evolve_profiles(state, dt, p_aux_mw, params, surrogate)
         return new, {"ti0": new.ti[1], "te0": new.te[1],
                      "ne0": new.ne[1], "n_he0": new.n_he[1]}
 
