@@ -197,7 +197,22 @@ def config_from_dict(raw: Mapping[str, Any]) -> ReactorConfig:
     Accepts the same JSON shape as the reference's config files
     (``core/default_config.json``, ``validation/*.json``): extension keys are
     ignored rather than rejected, matching the reference's ``extra='allow'``.
+
+    Fail-closed: any malformed shape — wrong container type, missing key,
+    non-numeric leaf — raises :class:`ConfigError`, never an uncontrolled
+    ``TypeError``/``KeyError`` (hypothesis fuzz lane contract,
+    ``tests/test_fuzz_parsers.py``).
     """
+    try:
+        return _config_from_dict_unchecked(raw)
+    except ConfigError:
+        raise
+    except (TypeError, KeyError, AttributeError, IndexError,
+            ValueError, OverflowError) as exc:
+        raise ConfigError(f"malformed config: {exc}") from exc
+
+
+def _config_from_dict_unchecked(raw: Mapping[str, Any]) -> ReactorConfig:
     dims_raw = raw.get("dimensions")
     if dims_raw is None:
         raise ConfigError("config is missing required 'dimensions'")

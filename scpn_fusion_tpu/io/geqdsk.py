@@ -249,13 +249,29 @@ def read_geqdsk(path: str | Path) -> GEqdsk:
     return eq
 
 
+def _fmt_one(v: float) -> str:
+    """One value in 16 columns of Fortran E16.9.
+
+    A 3-digit exponent makes the standard form 16 characters with no
+    leading separator, which merges adjacent tokens in the 5-per-line
+    record.  Fortran solves this by dropping the 'E' (the bare-exponent
+    form ``1.5-101``) to stay inside the field width — emit exactly that;
+    the tokenizer normalises it back (hypothesis round-trip lane,
+    ``tests/test_fuzz_parsers.py``)."""
+    s = f"{v:16.9E}"
+    if len(s) > 16 or s[0] != " ":
+        s = s.replace("E", "")
+        s = " " * max(16 - len(s), 0) + s
+    return s
+
+
 def _fmt(values) -> str:
     """Format a flat value sequence as Fortran 5E16.9 records."""
     out = []
     vals = np.asarray(values, dtype=np.float64).ravel()
     for i in range(0, len(vals), 5):
         chunk = vals[i:i + 5]
-        out.append("".join(f"{v:16.9E}" for v in chunk))
+        out.append("".join(_fmt_one(v) for v in chunk))
     return "\n".join(out)
 
 

@@ -53,7 +53,22 @@ def save_checkpoint(
 
 def load_checkpoint(path: str | Path, example_state: Any) -> tuple[Any, dict]:
     """Load a checkpoint into the structure of ``example_state`` (fail-closed:
-    checksum, leaf count, and shapes must match the manifest)."""
+    checksum, leaf count, shapes, and dtypes must match the manifest).
+
+    Any malformed manifest — missing keys, wrong value types — raises
+    ``ValueError``, never an uncontrolled ``KeyError``/``TypeError``
+    (hypothesis fuzz lane, ``tests/test_fuzz_parsers.py``)."""
+    try:
+        return _load_checkpoint_unchecked(path, example_state)
+    except ValueError:
+        raise
+    except (KeyError, TypeError, AttributeError, IndexError) as exc:
+        raise ValueError(f"malformed checkpoint manifest/payload: "
+                         f"{exc!r}") from exc
+
+
+def _load_checkpoint_unchecked(path: str | Path,
+                               example_state: Any) -> tuple[Any, dict]:
     path = Path(path)
     manifest = json.loads(Path(str(path) + ".json").read_text())
     if manifest.get("schema") != "scpn-fusion-tpu.checkpoint.v1":
