@@ -4,8 +4,10 @@
 North-star metric (BASELINE.json): converged Grad-Shafranov solve at 513^2,
 compared against the NumPy reference-twin solver running the *same*
 multigrid-Picard algorithm on this host — the target is >= 20x NumPy speed at
-reference-tolerance accuracy.  Measured on one TPU v5 lite chip: ~430 ms vs
-~25 s NumPy (58x), span-relative deviation ~6e-5.
+reference-tolerance accuracy.  Canonical driver-measured figure on one TPU
+v5-lite chip: 160.6 ms vs ~23 s NumPy (145x), span-relative deviation ~6e-5
+(BENCH_r01.json); interactive runs land in 160-210 ms depending on tunnel
+contention.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <jax_ms>, "unit": "ms", "vs_baseline": <speedup>}

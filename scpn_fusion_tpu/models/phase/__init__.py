@@ -65,3 +65,14 @@ __all__ = [
     "upde_tick",
     "wrap_phase",
 ]
+from scpn_fusion_tpu.models.phase.monitor import (  # noqa: F401
+    MonitorConfig,
+    MonitorTrace,
+    PhaseStreamCodec,
+    adaptive_knm_from_gk,
+    gk_natural_frequencies,
+    init_monitor,
+    monitor_tick,
+    run_monitor,
+    stream_trace,
+)

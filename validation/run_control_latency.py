@@ -69,11 +69,18 @@ def main() -> int:
     rep = measure_dispatch_latency(
         lambda s, e: pid_step(gains, s, e), (pid_init(), jnp.asarray(0.1)),
         n_samples=100)
+    metrics1 = rep.to_dict()
+    metrics1["reference_rust_pid_p50_us"] = 0.52
     lanes.append(LaneResult(
         name="pid_kernel_step",
         status="pass" if rep.p50_us < 2000 else "fail",
-        metrics=rep.to_dict(), thresholds={"p50_us_max": 2000.0},
-        notes="warm jitted dispatch latency (host-visible)"))
+        metrics=metrics1, thresholds={"p50_us_max": 2000.0},
+        notes="measures host->device DISPATCH latency of one jitted call "
+              "over the remote TPU tunnel — NOT control capability. The "
+              "reference's 0.52 us Rust PID (BASELINE.md) is an in-process "
+              "kernel; the comparable deployment metric here is lane 3's "
+              "fused per-tick time, where the controller runs inside the "
+              "compiled loop with no per-tick host round-trip."))
 
     # Lane 2: SCPN controller tick dispatch
     try:
@@ -120,7 +127,9 @@ def main() -> int:
                  "rate_hz_equivalent": 1e6 / max(rep3.mean_us, 1e-9)},
         thresholds={"mean_us_per_tick_max": 100.0},
         notes=f"{n_ticks} controller+plant ticks fused in one scan "
-              f"on backend={jax.default_backend()}"))
+              f"on backend={jax.default_backend()} — the deployment-rate "
+              "metric comparable to the reference's in-process kernels "
+              "(Rust PID 0.52 us, HIL loop 24.5 us P50, BASELINE.md)"))
 
     path = write_report("control_latency", lanes)
     print(f"wrote {path}")
