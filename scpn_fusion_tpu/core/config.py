@@ -146,7 +146,8 @@ class SolverParams:
             raise ConfigError("relaxation_factor must be in (0, 1]")
         if not 1.0 <= self.sor_omega < 2.0:
             raise ConfigError("sor_omega must satisfy 1.0 <= omega < 2.0")
-        if self.solver_method not in ("jacobi", "sor", "anderson", "multigrid", "newton"):
+        if self.solver_method not in ("jacobi", "sor", "anderson",
+                                      "multigrid", "anderson_mg", "newton"):
             raise ConfigError(f"unknown solver_method {self.solver_method!r}")
         if self.inner_sweeps < 1:
             raise ConfigError("inner_sweeps must be >= 1")

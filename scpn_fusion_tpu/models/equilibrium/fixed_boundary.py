@@ -148,7 +148,12 @@ def solve_fixed_boundary_impl(
     n_flat = grid.NZ * grid.NR
     dtype = psi0.dtype
 
-    use_anderson = solver_method == "anderson"
+    # "anderson" mixes over SOR inner sweeps (reference pairing);
+    # "anderson_mg" mixes over the multigrid V-cycle — the V-cycle is a
+    # near-exact elliptic solve, so Anderson works on the pure Picard
+    # source-update map and cuts the outer iteration count several-fold
+    # (the headline-bench configuration).
+    use_anderson = solver_method in ("anderson", "anderson_mg")
     m_hist = anderson_m if use_anderson else 1
 
     # ── seed plasma: normalised Gaussian J + 50 Jacobi pre-sweeps ──
@@ -165,7 +170,7 @@ def solve_fixed_boundary_impl(
             out = psi_in
             for _ in range(inner_sweeps):
                 out = jacobi_step(out, source, r_1d, d_r, d_z)
-        elif solver_method == "multigrid":
+        elif solver_method in ("multigrid", "anderson_mg"):
             out = _vcycle_impl(psi_in, source, r_1d, d_r, d_z,
                                1.0, 3, 3, 5, 50, use_pallas)
         else:  # "sor" | "anderson"

@@ -146,3 +146,24 @@ def test_f32_matches_f64_span_relative():
     span = psi64.max() - psi64.min()
     rel = np.max(np.abs(psi32 - psi64)) / span
     assert rel < 5e-3, f"f32/f64 span-relative deviation {rel:.2e}"
+
+
+def test_anderson_mg_reaches_multigrid_fixed_point():
+    """Anderson-accelerated multigrid-Picard (the headline-bench method)
+    must reach the plain multigrid-Picard fixed point in far fewer outer
+    iterations (measured 24 vs 176 at 513^2; checked here at 65^2)."""
+    import dataclasses
+
+    ref = solve_equilibrium(make_cfg("multigrid"), dtype=jnp.float64)
+    base = make_cfg("multigrid")
+    fast_cfg = dataclasses.replace(
+        base, reactor_name="fb-anderson-mg",
+        solver=dataclasses.replace(
+            base.solver, solver_method="anderson_mg",
+            relaxation_factor=0.8, anderson_depth=4))
+    fast = solve_equilibrium(fast_cfg, dtype=jnp.float64)
+    assert bool(fast.converged)
+    assert int(fast.iterations) < int(ref.iterations)
+    span = float(jnp.max(ref.psi) - jnp.min(ref.psi))
+    dev = float(jnp.max(jnp.abs(fast.psi - ref.psi))) / span
+    assert dev < 1e-3
