@@ -58,15 +58,20 @@ def main() -> None:
     )
 
     # ── JAX (device) solve: compile once, then time warm runs ──
+    # Timing forces a device->host fetch of the full psi map:
+    # block_until_ready is NOT a reliable completion barrier over the
+    # remote (axon) TPU tunnel (measured: sub-ms "completions" of
+    # 100 ms-class programs), and the fetched solution is what a user
+    # actually receives.
     res = solve_equilibrium(cfg, dtype=jnp.float32)
-    jax.block_until_ready(res.psi)
+    np.asarray(res.psi)
     assert bool(res.converged), "bench solve did not converge"
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         res = solve_equilibrium(cfg, dtype=jnp.float32)
-        jax.block_until_ready(res.psi)
+        np.asarray(res.psi)
         times.append(time.perf_counter() - t0)
     jax_ms = 1e3 * min(times)
 

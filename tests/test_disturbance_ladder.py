@@ -91,3 +91,38 @@ class TestControllers:
         ctrl = _build_z_net(2e3, jnp.float32)
         # 4 transitions: 2 command + 2 drain.
         assert ctrl.thresholds.shape[0] == 4
+
+
+class TestStressCampaign:
+    """1000-shot stress campaign (reference Step 2.1; CPU-sized here)."""
+
+    def test_randomized_shots_stay_controlled(self):
+        from scpn_fusion_tpu.control.flight_sim import FlightSimParams
+        from scpn_fusion_tpu.control.stress import (
+            StressConfig,
+            run_stress_campaign,
+        )
+        res = run_stress_campaign(FlightSimParams(), StressConfig(),
+                                  n_shots=32, seed=7)
+        assert float(res.disruption_rate) == 0.0
+        assert float(res.r_err_p99) < 0.5
+        assert res.per_shot_disrupted.shape == (32,)
+
+    def test_disturbances_actually_injected(self):
+        """ELM kicks and noise must perturb the trajectory: a quiet run
+        and a noisy run differ."""
+        import jax.numpy as jnp
+
+        from scpn_fusion_tpu.control.flight_sim import FlightSimParams
+        from scpn_fusion_tpu.control.stress import (
+            StressConfig,
+            run_stress_campaign,
+        )
+        noisy = run_stress_campaign(
+            FlightSimParams(), StressConfig(), n_shots=8, seed=1)
+        quiet = run_stress_campaign(
+            FlightSimParams(),
+            StressConfig(sensor_noise_m=0.0, elm_kick_m=0.0,
+                         ramp_disturbance_m_s=0.0),
+            n_shots=8, seed=1)
+        assert float(noisy.r_err_p95) > float(quiet.r_err_p95)

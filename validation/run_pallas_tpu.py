@@ -65,12 +65,14 @@ def main() -> int:
     jax.block_until_ready((out_p, out_x))
     dev = float(jnp.max(jnp.abs(out_p - out_x))) / span
 
+    # Timings force a device->host fetch (block_until_ready is not a
+    # reliable completion barrier over the remote TPU tunnel, measured).
     times = {}
     for name, fn in (("pallas", pallas_fn), ("xla", xla_fn)):
-        jax.block_until_ready(fn())
+        np.asarray(fn())
         t0 = time.perf_counter()
         for _ in range(5):
-            jax.block_until_ready(fn())
+            np.asarray(fn())
         times[name] = (time.perf_counter() - t0) / 5 / n_sweeps * 1e3
 
     gate = 1e-5

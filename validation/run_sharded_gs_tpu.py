@@ -58,18 +58,20 @@ def main() -> int:
                 n_sweeps=n_sweeps, nz_total=grid.NZ)
     omega = jnp.asarray(1.7, dtype)
 
+    # Timings force a device->host fetch: block_until_ready is not a
+    # reliable completion barrier over the remote TPU tunnel (measured).
     out, _ = sharded_sor_solve(psi0, src, grid.R, omega, **args)
-    jax.block_until_ready(out)
+    np.asarray(out)
     t0 = time.perf_counter()
     out, _ = sharded_sor_solve(psi0, src, grid.R, omega, **args)
-    jax.block_until_ready(out)
+    np.asarray(out)
     t_shard = (time.perf_counter() - t0) / n_sweeps * 1e3
 
     plain = sor_sweeps(psi0, src, grid.R, grid.dR, grid.dZ, 1.7, n_sweeps)
-    jax.block_until_ready(plain)
+    np.asarray(plain)
     t0 = time.perf_counter()
     plain = sor_sweeps(psi0, src, grid.R, grid.dR, grid.dZ, 1.7, n_sweeps)
-    jax.block_until_ready(plain)
+    np.asarray(plain)
     t_plain = (time.perf_counter() - t0) / n_sweeps * 1e3
 
     dev = float(jnp.max(jnp.abs(out - plain))) / span
