@@ -53,3 +53,39 @@ class TestDashboard:
         assert "## Live equilibrium — DIII-D-like" in text
         assert "converged: True" in text
         assert "```" in text   # ASCII flux map present
+
+
+class TestHtmlDashboard:
+    """Static HTML studio view + federation manifest (reference ui/app.py
+    + studio/federation.py roles; streamlit absent in this image)."""
+
+    def test_generates_selfcontained_page(self, tmp_path):
+        from scpn_fusion_tpu.ui.html_dashboard import generate_html_dashboard
+        out = generate_html_dashboard(".", tmp_path / "dash.html")
+        page = out.read_text()
+        assert page.startswith("<!doctype html>")
+        assert "<svg" in page            # accuracy chart rendered
+        assert "chip pass" in page       # campaign chips present
+        assert "gate" in page            # reference gate line
+        assert "prefers-color-scheme: dark" in page   # dark mode selected
+
+    def test_bars_respect_mark_spec(self, tmp_path):
+        import re
+        from scpn_fusion_tpu.ui.html_dashboard import generate_html_dashboard
+        page = generate_html_dashboard(".", tmp_path / "d.html").read_text()
+        bars = re.findall(
+            r'<rect class="bar" [^>]*height="(\d+)" rx="4"/>', page)
+        assert bars and all(int(h) <= 24 for h in bars)
+
+    def test_manifest_checksums(self, tmp_path):
+        import hashlib
+        import json
+        from scpn_fusion_tpu.ui.html_dashboard import emit_studio_manifest
+        out = emit_studio_manifest(".", tmp_path / "manifest.json")
+        m = json.loads(out.read_text())
+        assert m["schema"] == "scpn-fusion-tpu.studio-manifest.v1"
+        assert m["n_entries"] == len(m["entries"]) > 0
+        entry = m["entries"][0]
+        actual = hashlib.sha256(
+            open(entry["path"], "rb").read()).hexdigest()
+        assert entry["sha256"] == actual
