@@ -125,14 +125,87 @@ def _mode_burn(args) -> int:
 
 
 def _mode_validate(args) -> int:
+    """Run one named campaign, or the full pipeline with --all
+    (reference ``full_validation_pipeline.py`` role).  Each campaign runs
+    in-process via runpy; a non-zero exit from any campaign fails the
+    pipeline, and RESULTS.md is regenerated at the end."""
     import runpy
-    script = Path(__file__).resolve().parents[1] / "validation" / \
-        "run_equilibrium_parity.py"
+
+    vdir = Path(__file__).resolve().parents[1] / "validation"
+    if args.all:
+        names = sorted(p.stem for p in vdir.glob("run_*.py"))
+    else:
+        names = [f"run_{args.campaign}"]
+    worst = 0
+    for name in names:
+        script = vdir / f"{name}.py"
+        if not script.exists():
+            print(f"unknown campaign: {name}", file=sys.stderr)
+            return 2
+        print(f"== {name}", file=sys.stderr)
+        try:
+            runpy.run_path(str(script), run_name="__main__")
+        except SystemExit as exc:
+            worst = max(worst, int(exc.code or 0))
     try:
-        runpy.run_path(str(script), run_name="__main__")
-    except SystemExit as exc:
-        return int(exc.code or 0)
+        runpy.run_path(str(vdir / "collect_results.py"),
+                       run_name="__main__")
+    except SystemExit:
+        pass
+    return worst
+
+
+def _mode_dashboard(args) -> int:
+    from scpn_fusion_tpu.ui.dashboard import generate_dashboard
+    from scpn_fusion_tpu.ui.html_dashboard import (
+        emit_studio_manifest,
+        generate_html_dashboard,
+    )
+
+    print(generate_dashboard("DASHBOARD.md"))
+    print(generate_html_dashboard(".", "DASHBOARD.html"))
+    print(emit_studio_manifest(".", "studio_manifest.json"))
     return 0
+
+
+def _mode_tglf(args) -> int:
+    """Native TGLF point evaluation (GK path A)."""
+    from scpn_fusion_tpu.models.gyrokinetics.interface import GKLocalParams
+    from scpn_fusion_tpu.models.gyrokinetics.registry import (
+        resolve_tglf_solver,
+    )
+
+    params = GKLocalParams(
+        r_l_ti=args.rlti, r_l_te=args.rlte, r_l_ne=args.rlne,
+        q=args.q, s_hat=args.s_hat, epsilon=args.epsilon,
+        te_ti=args.te_ti, nu_star=args.nu_star)
+    out = resolve_tglf_solver().run_from_params(params)
+    print(json.dumps({
+        "chi_i_m2_s": out.chi_i, "chi_e_m2_s": out.chi_e,
+        "d_e_m2_s": out.d_e, "dominant_mode": out.dominant_mode,
+        "gamma_max_cs_a": float(np.max(out.gamma)) if out.gamma.size
+        else 0.0,
+    }))
+    return 0
+
+
+def _mode_stress(args) -> int:
+    """Randomized multi-shot stress campaign (vmapped)."""
+    from scpn_fusion_tpu.control.flight_sim import FlightSimParams
+    from scpn_fusion_tpu.control.stress import (
+        StressConfig,
+        run_stress_campaign,
+    )
+
+    res = run_stress_campaign(FlightSimParams(), StressConfig(),
+                              n_shots=args.shots, seed=args.seed)
+    print(json.dumps({
+        "n_shots": args.shots,
+        "disruption_rate": float(res.disruption_rate),
+        "r_err_p95_m": float(res.r_err_p95),
+        "r_err_p99_m": float(res.r_err_p99),
+    }))
+    return 0 if float(res.disruption_rate) == 0.0 else 1
 
 
 def _mode_design_scan(args) -> int:
@@ -260,8 +333,32 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--kappa", type=float, default=1.7)
     b.set_defaults(fn=_mode_burn)
 
-    v = sub.add_parser("validate", help="run the validation campaign")
+    v = sub.add_parser("validate", help="run validation campaigns")
+    v.add_argument("--campaign", default="equilibrium_parity",
+                   help="campaign name (validation/run_<name>.py)")
+    v.add_argument("--all", action="store_true",
+                   help="run every campaign + regenerate RESULTS.md")
     v.set_defaults(fn=_mode_validate)
+
+    db = sub.add_parser("dashboard",
+                        help="regenerate MD+HTML dashboards + manifest")
+    db.set_defaults(fn=_mode_dashboard)
+
+    tg = sub.add_parser("tglf", help="native TGLF point evaluation")
+    tg.add_argument("--rlti", type=float, default=9.0)
+    tg.add_argument("--rlte", type=float, default=6.9)
+    tg.add_argument("--rlne", type=float, default=2.2)
+    tg.add_argument("--q", type=float, default=1.4)
+    tg.add_argument("--s-hat", dest="s_hat", type=float, default=0.8)
+    tg.add_argument("--epsilon", type=float, default=0.16)
+    tg.add_argument("--te-ti", dest="te_ti", type=float, default=1.0)
+    tg.add_argument("--nu-star", dest="nu_star", type=float, default=0.1)
+    tg.set_defaults(fn=_mode_tglf)
+
+    sx = sub.add_parser("stress", help="randomized multi-shot campaign")
+    sx.add_argument("--shots", type=int, default=100)
+    sx.add_argument("--seed", type=int, default=0)
+    sx.set_defaults(fn=_mode_stress)
 
     d = sub.add_parser("design-scan",
                        help="vmapped compact-reactor design search")
