@@ -54,3 +54,62 @@ def test_sharded_sor_converges():
     )
     err = np.max(np.abs(np.asarray(out) - np.asarray(psi_exact)))
     assert err < 1e-6, f"distributed SOR did not converge: {err}"
+
+
+class TestDecompositionPlan:
+    """Rank-tile planner + invariant certification (reference
+    gk_domain_decomposition.py:25-260 contract)."""
+
+    def test_balanced_partition_and_validation(self):
+        from scpn_fusion_tpu.parallel.plan import build_decomposition
+        plan = build_decomposition(10, 7, radial_ranks=3,
+                                   toroidal_ranks=2, halo=1)
+        assert plan.total_ranks == 6
+        # Owned blocks cover exactly; imbalance bounded by +1 cell rule.
+        assert plan.owned_cell_imbalance <= 2.0
+        assert plan.halo_overhead_ratio > 1.0
+
+    def test_invalid_plans_rejected(self):
+        import dataclasses
+        from scpn_fusion_tpu.parallel.plan import (
+            AxisBlock, DecompositionPlan, PlanError, RankTile,
+            build_decomposition, validate_plan)
+        import pytest
+        with pytest.raises(PlanError, match="cannot split"):
+            build_decomposition(3, 3, radial_ranks=5, toroidal_ranks=1)
+        # Overlapping hand-built plan must fail closed.
+        tile = RankTile(0, AxisBlock(0, 3), AxisBlock(0, 3),
+                        AxisBlock(0, 3), AxisBlock(0, 3))
+        bad = DecompositionPlan(n_radial=4, n_toroidal=3, halo=0,
+                                tiles=(tile, tile))
+        with pytest.raises(PlanError, match="partition"):
+            validate_plan(bad)
+
+    def test_invariant_metrics_pass_on_any_state(self):
+        import numpy as np
+        from scpn_fusion_tpu.parallel.plan import (
+            build_decomposition, invariant_metrics)
+        rng = np.random.default_rng(3)
+        state = rng.standard_normal((8, 6, 4, 5, 3))
+        plan = build_decomposition(8, 6, radial_ranks=2,
+                                   toroidal_ranks=3, halo=1)
+        m = invariant_metrics(plan, state)
+        assert m.decomposition_invariant_pass
+        assert m.reconstruction_linf_error == 0.0
+        assert m.inventory_relative_error <= 1e-12
+        assert m.free_energy_relative_error <= 1e-12
+
+    def test_halo_views_contain_neighbour_cells(self):
+        import numpy as np
+        from scpn_fusion_tpu.parallel.plan import (
+            build_decomposition, extract_tile)
+        state = np.arange(8 * 6 * 2 * 2 * 2, dtype=float).reshape(
+            8, 6, 2, 2, 2)
+        plan = build_decomposition(8, 6, radial_ranks=2,
+                                   toroidal_ranks=1, halo=1)
+        inner = extract_tile(state, plan.tiles[1], with_halo=False)
+        padded = extract_tile(state, plan.tiles[1], with_halo=True)
+        assert padded.shape[0] == inner.shape[0] + 1   # domain-edge clamp
+        np.testing.assert_array_equal(padded[1:], inner)
+        # The halo row is the neighbour's last owned row.
+        np.testing.assert_array_equal(padded[0], state[3])
