@@ -3,11 +3,12 @@
 
 North-star metric (BASELINE.json): converged Grad-Shafranov solve at 513^2,
 compared against the NumPy reference-twin solver running the *same*
-multigrid-Picard algorithm on this host — the target is >= 20x NumPy speed at
-reference-tolerance accuracy.  Canonical driver-measured figure on one TPU
-v5-lite chip: 160.6 ms vs ~23 s NumPy (145x), span-relative deviation ~6e-5
-(BENCH_r01.json); interactive runs land in 160-210 ms depending on tunnel
-contention.
+Anderson-accelerated multigrid-Picard algorithm on this host — the target is
+>= 20x NumPy speed at reference-tolerance accuracy.  ``vs_baseline`` is the
+algorithm-MATCHED hardware speedup (both lanes run Anderson-MG); the
+algorithm-advantaged figure vs the plain multigrid-Picard twin is reported
+on stderr.  Canonical driver-measured figure (round 2, algorithm-advantaged
+accounting): 112.2 ms on one TPU chip (BENCH_r02.json).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <jax_ms>, "unit": "ms", "vs_baseline": <speedup>}
@@ -75,7 +76,11 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     jax_ms = 1e3 * min(times)
 
-    # ── NumPy twin (same algorithm, this host) ──
+    # ── NumPy twin: SAME Anderson-accelerated multigrid-Picard algorithm
+    # (relaxation 0.8, depth-4 Anderson over the V-cycle) so vs_baseline is
+    # an algorithm-MATCHED hardware speedup (ADVICE r2 medium).  The plain
+    # multigrid-Picard twin (alpha=0.1, no Anderson) is also timed and
+    # reported on stderr as the algorithm-advantaged figure.
     grid = Grid.from_config(cfg, dtype=np.float64)
     r_1d = np.asarray(grid.R, dtype=np.float64)
     z_1d = np.asarray(grid.Z, dtype=np.float64)
@@ -86,8 +91,14 @@ def main() -> None:
     t0 = time.perf_counter()
     np_res = npref.solve_equilibrium_np(
         r_1d, z_1d, psi_bc, 15.0, mu0=1.0,
-        max_iter=600, tol=1e-4, alpha=0.1)
+        max_iter=600, tol=1e-4, alpha=0.8, anderson_m=4)
     np_ms = 1e3 * (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    np_plain = npref.solve_equilibrium_np(
+        r_1d, z_1d, psi_bc, 15.0, mu0=1.0,
+        max_iter=600, tol=1e-4, alpha=0.1)
+    np_plain_ms = 1e3 * (time.perf_counter() - t0)
 
     # Accuracy cross-check: span-relative deviation between lanes.
     psi_j = np.asarray(res.psi, dtype=np.float64)
@@ -102,11 +113,13 @@ def main() -> None:
         "vs_baseline": round(speedup, 2),
     }
     print(json.dumps(out))
-    print(f"# numpy twin: {np_ms:.1f} ms (converged={np_res['converged']}, "
-          f"iters={np_res['iterations']}, plain multigrid-Picard); jax "
-          f"converged in {int(res.iterations)} iters (Anderson-accelerated "
-          f"multigrid-Picard — same fixed point); span-rel deviation "
-          f"{span_rel:.2e}", file=sys.stderr)
+    print(f"# numpy twin (algorithm-matched Anderson-MG): {np_ms:.1f} ms "
+          f"(converged={np_res['converged']}, iters={np_res['iterations']}); "
+          f"plain multigrid-Picard twin: {np_plain_ms:.1f} ms "
+          f"(iters={np_plain['iterations']}, algorithm-advantaged speedup "
+          f"{np_plain_ms / jax_ms:.1f}x); jax converged in "
+          f"{int(res.iterations)} iters; span-rel deviation {span_rel:.2e}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

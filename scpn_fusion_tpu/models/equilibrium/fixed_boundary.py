@@ -76,9 +76,9 @@ class _Carry(NamedTuple):
     gs_best: jnp.ndarray
     res_hist: jnp.ndarray
     gs_hist: jnp.ndarray
-    # Anderson rolling buffers (newest last); zero-size when disabled.
-    psi_buf: jnp.ndarray   # (m, N)
-    f_buf: jnp.ndarray     # (m, N)
+    # Anderson rolling buffers (newest last); depth 1 when disabled.
+    psi_buf: jnp.ndarray   # (m, NZ, NR)
+    f_buf: jnp.ndarray     # (m, NZ, NR)
     n_valid: jnp.ndarray
 
 
@@ -91,21 +91,39 @@ def _anderson_mix(
 
     Port of the reference algorithm (``fusion_kernel_iterative_solver.py:
     248-314``) with a static buffer: invalid (not-yet-filled) history rows are
-    masked to zero, and the 1e-10 Tikhonov term keeps the normal equations
-    well-posed so masked rows contribute ~zero weight.
+    masked to zero.  Regularisation is scale-RELATIVE (1e-8 of the mean Gram
+    diagonal, plus a 1e-10 absolute floor) and the extrapolation weights are
+    norm-clipped: near convergence the Gram matrix is numerically singular in
+    f32, and an absolute-only Tikhonov term lets O(1e-6) reduction-order
+    noise (e.g. from the distributed V-cycle's psum ordering) produce huge
+    mixing weights that destabilise the whole Picard loop — observed as
+    non-convergence of the 2-shard solve before this safeguard.
+
+    Buffers are kept in field shape (m, NZ, NR) — NOT flattened — so the
+    history operations stay GSPMD-clean when the field is mesh-sharded
+    (reshaping a non-divisibly-sharded axis forced data movement and, with
+    the Z-slab sharded elliptic solve, produced wrong mixes that locked the
+    Picard loop into a period-3 limit cycle; einsum contractions over the
+    2D field lower to plain psums).
     """
     m = psi_buf.shape[0]
     idx = jnp.arange(m)
     valid = idx >= (m - n_valid)                       # newest entries are valid
-    f_masked = jnp.where(valid[:, None], f_buf, 0.0)
+    f_masked = jnp.where(valid[:, None, None], f_buf, 0.0)
 
-    d_f = f_masked[1:, :] - f_masked[:-1, :]           # (m-1, N)
+    d_f = f_masked[1:] - f_masked[:-1]                 # (m-1, NZ, NR)
     pair_valid = idx[:-1] >= (m - n_valid)             # both rows valid
-    d_f = jnp.where(pair_valid[:, None], d_f, 0.0)
+    d_f = jnp.where(pair_valid[:, None, None], d_f, 0.0)
 
-    rhs = f_masked[-1, :]
-    gram = d_f @ d_f.T + 1e-10 * jnp.eye(m - 1, dtype=f_buf.dtype)
-    gamma = jnp.linalg.solve(gram, d_f @ rhs)
+    rhs = f_masked[-1]
+    gram = jnp.einsum("mij,nij->mn", d_f, d_f)
+    scale = jnp.trace(gram) / (m - 1)
+    gram = gram + (1e-10 + 1e-8 * scale) * jnp.eye(m - 1, dtype=f_buf.dtype)
+    gamma = jnp.linalg.solve(gram, jnp.einsum("mij,ij->m", d_f, rhs))
+    # Extrapolation safeguard: bound ||gamma|| (standard safeguarded-AA).
+    g_norm = jnp.linalg.norm(gamma)
+    g_max = jnp.asarray(10.0, f_buf.dtype)
+    gamma = gamma * jnp.minimum(1.0, g_max / jnp.maximum(g_norm, 1e-30))
 
     alpha = jnp.zeros((m,), dtype=f_buf.dtype)
     alpha = alpha.at[-1].set(1.0 - jnp.sum(gamma))
@@ -115,9 +133,9 @@ def _anderson_mix(
     safe = jnp.abs(alpha_sum) >= 1e-12
     alpha = jnp.where(safe, alpha / jnp.where(safe, alpha_sum, 1.0), 0.0)
 
-    mixed = alpha @ psi_buf
+    mixed = jnp.einsum("m,mij->ij", alpha, psi_buf)
     # Fall back to the newest iterate if the mix was degenerate.
-    return jnp.where(safe, mixed, psi_buf[-1, :])
+    return jnp.where(safe, mixed, psi_buf[-1])
 
 
 def solve_fixed_boundary_impl(
@@ -140,12 +158,12 @@ def solve_fixed_boundary_impl(
     mu0: float,
     use_gs_criterion: bool,
     use_pallas: bool = False,
+    elliptic_fn=None,
 ) -> EquilibriumResult:
     r_1d = grid.R
     rr = grid.RR
     zz = grid.ZZ
     d_r, d_z = grid.dR, grid.dZ
-    n_flat = grid.NZ * grid.NR
     dtype = psi0.dtype
 
     # "anderson" mixes over SOR inner sweeps (reference pairing);
@@ -166,7 +184,12 @@ def solve_fixed_boundary_impl(
     psi = jacobi_sweeps(psi0, seed_source, r_1d, d_r, d_z, 50)
 
     def elliptic_step(psi_in: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
-        if solver_method == "jacobi":
+        if elliptic_fn is not None:
+            # Injected elliptic solver (e.g. the distributed sharded V-cycle,
+            # ``parallel/sharded_mg.sharded_vcycle`` — same Picard/Anderson
+            # outer loop, mesh-parallel inner solve).
+            out = elliptic_fn(psi_in, source)
+        elif solver_method == "jacobi":
             out = psi_in
             for _ in range(inner_sweeps):
                 out = jacobi_step(out, source, r_1d, d_r, d_z)
@@ -198,14 +221,14 @@ def solve_fixed_boundary_impl(
         psi_relaxed = (1.0 - alpha_relax) * c.psi + alpha_relax * psi_new
 
         if use_anderson:
-            psi_buf = jnp.roll(c.psi_buf, -1, axis=0).at[-1].set(psi_relaxed.reshape(-1))
+            psi_buf = jnp.roll(c.psi_buf, -1, axis=0).at[-1].set(psi_relaxed)
             f_buf = jnp.roll(c.f_buf, -1, axis=0).at[-1].set(
-                (psi_new - psi_relaxed).reshape(-1))
+                psi_new - psi_relaxed)
             n_valid = jnp.minimum(c.n_valid + 1, m_hist)
 
             def do_mix(_):
                 mixed = _anderson_mix(psi_buf, f_buf, n_valid)
-                return apply_dirichlet(mixed.reshape(c.psi.shape), psi_bc)
+                return apply_dirichlet(mixed, psi_bc)
 
             psi_next = jax.lax.cond(
                 (n_valid >= 3) & (c.k % 3 == 0),
@@ -256,8 +279,8 @@ def solve_fixed_boundary_impl(
         gs_best=jnp.asarray(jnp.inf, dtype),
         res_hist=jnp.full((max_iter,), jnp.nan, dtype),
         gs_hist=jnp.full((max_iter,), jnp.nan, dtype),
-        psi_buf=jnp.zeros((m_hist, n_flat), dtype),
-        f_buf=jnp.zeros((m_hist, n_flat), dtype),
+        psi_buf=jnp.zeros((m_hist,) + psi.shape, dtype),
+        f_buf=jnp.zeros((m_hist,) + psi.shape, dtype),
         n_valid=jnp.int32(0),
     )
     final = jax.lax.while_loop(cond, body, init)
@@ -296,7 +319,7 @@ _solve_fixed_boundary = partial(
     jax.jit,
     static_argnames=("grid", "solver_method", "max_iter", "h_mode",
                      "inner_sweeps", "anderson_m", "mu0", "use_gs_criterion",
-                     "use_pallas"),
+                     "use_pallas", "elliptic_fn"),
 )(solve_fixed_boundary_impl)
 
 

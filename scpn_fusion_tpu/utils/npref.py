@@ -123,6 +123,29 @@ def vcycle_np(psi, source, r_1d, d_r, d_z, omega=1.0, pre=3, post=3,
     return smooth_np(psi, source, r_1d, d_r, d_z, omega, post)
 
 
+def _anderson_mix_np(psi_hist: list, f_hist: list) -> np.ndarray:
+    """Tikhonov-regularised Anderson mixing — NumPy twin of
+    ``fixed_boundary._anderson_mix`` (same 1e-10 Tikhonov term, same
+    degenerate-weight fallback)."""
+    m = len(psi_hist)
+    f = np.stack(f_hist)                       # (m, N), oldest..newest
+    d_f = f[1:] - f[:-1]
+    gram = d_f @ d_f.T
+    scale = np.trace(gram) / (m - 1)
+    gram = gram + (1e-10 + 1e-8 * scale) * np.eye(m - 1)
+    gamma = np.linalg.solve(gram, d_f @ f[-1])
+    g_norm = float(np.linalg.norm(gamma))
+    if g_norm > 10.0:
+        gamma *= 10.0 / g_norm
+    alpha = np.zeros(m)
+    alpha[-1] = 1.0 - gamma.sum()
+    alpha[:-1] -= gamma
+    s = alpha.sum()
+    if abs(s) < 1e-12:
+        return psi_hist[-1]
+    return (alpha / s) @ np.stack(psi_hist)
+
+
 def solve_equilibrium_np(
     r_1d: np.ndarray,
     z_1d: np.ndarray,
@@ -133,6 +156,7 @@ def solve_equilibrium_np(
     max_iter: int = 600,
     tol: float = 1e-4,
     alpha: float = 0.1,
+    anderson_m: int = 0,
 ) -> dict:
     """NumPy twin of the full Picard + multigrid equilibrium solve (L-mode).
 
@@ -140,6 +164,11 @@ def solve_equilibrium_np(
     ``models/equilibrium/fixed_boundary.py`` — used as the performance and
     parity comparator (the reference's NumPy lane,
     ``fusion_kernel_newton_solver.py:390-615`` with method="multigrid").
+
+    ``anderson_m > 0`` enables the same Anderson acceleration over the
+    V-cycle as the JAX ``anderson_mg`` method (depth-``anderson_m`` history,
+    mix every 3rd iteration once >= 3 iterates are banked) — so the
+    headline bench can compare algorithm-matched lanes (ADVICE r2 medium).
     """
     nr, nz = len(r_1d), len(z_1d)
     d_r = float(r_1d[1] - r_1d[0])
@@ -160,6 +189,8 @@ def solve_equilibrium_np(
     converged = False
     iters = 0
     diff = np.inf
+    psi_hist: list = []
+    f_hist: list = []
     for k in range(max_iter):
         iters = k + 1
         psi_axis = psi.max()
@@ -191,7 +222,23 @@ def solve_equilibrium_np(
         psi_new[:, -1] = psi_bc[:, -1]
 
         diff = float(np.mean(np.abs(psi_new - psi)))
-        psi = (1.0 - alpha) * psi + alpha * psi_new
+        psi_relaxed = (1.0 - alpha) * psi + alpha * psi_new
+        if anderson_m > 0:
+            psi_hist.append(psi_relaxed.reshape(-1).copy())
+            f_hist.append((psi_new - psi_relaxed).reshape(-1).copy())
+            if len(psi_hist) > anderson_m:
+                psi_hist.pop(0)
+                f_hist.pop(0)
+            if len(psi_hist) >= 3 and k % 3 == 0:
+                psi = _anderson_mix_np(psi_hist, f_hist).reshape(psi.shape)
+                psi[0, :] = psi_bc[0, :]
+                psi[-1, :] = psi_bc[-1, :]
+                psi[:, 0] = psi_bc[:, 0]
+                psi[:, -1] = psi_bc[:, -1]
+            else:
+                psi = psi_relaxed
+        else:
+            psi = psi_relaxed
         if diff < tol:
             converged = True
             break

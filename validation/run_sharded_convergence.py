@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Distributed CONVERGENCE campaign: a device mesh converges the headline solve.
+
+Round-2 VERDICT #1: "until a mesh can converge a 513^2 solve, the multi-chip
+story is sweeps, not solves."  Lanes (fail-closed, blocked != pass):
+
+1. sharded_headline_convergence — the full nonlinear Anderson-MG-Picard
+   equilibrium solve at the headline 513^2 resolution, distributed over
+   1/2/4/8 Z-slab shards (`parallel/sharded_solve.py`: halo-exchanged fine
+   level, replicated coarse levels).  Every shard count must CONVERGE
+   (the solver's own dual update-diff + GS-residual criterion — the
+   convergent counterpart of the reference's ``distributed_gs_solve``,
+   ``mpi_domain.rs:804-1007``) with span-rel parity vs the single-device
+   solve and identical outer-iteration count.
+2. sharded_linear_residual_gate — the distributed linear MG solve
+   (`sharded_mg_solve`) at 513^2 runs V-cycles to an explicit residual
+   tolerance and the reported residual matches an independent
+   recomputation (gated, not fixed-sweep).
+3. sharded_scaling_shape_513 — wall-clock per solve vs shard count on the
+   virtual CPU mesh: SHAPE evidence only (virtual devices share host
+   cores); the real-chip datapoint is bench.py.
+
+Runs on the 8-virtual-device CPU mesh.  Writes checksummed JSON+MD evidence
+into validation/reports/.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.core.config import (
+        Coil, Dimensions, PhysicsParams, ReactorConfig, SolverParams,
+    )
+    from scpn_fusion_tpu.core.grid import Grid
+    from scpn_fusion_tpu.models.equilibrium import solve_equilibrium
+    from scpn_fusion_tpu.ops.stencil import gs_operator, gs_residual
+    from scpn_fusion_tpu.parallel.halo import make_z_mesh
+    from scpn_fusion_tpu.parallel.sharded_mg import sharded_mg_solve
+    from scpn_fusion_tpu.parallel.sharded_solve import solve_equilibrium_sharded
+    from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
+
+    lanes = []
+    n_devices = len(jax.devices())
+    if n_devices < 8:
+        lanes.append(LaneResult(
+            name="sharded_headline_convergence", status="blocked",
+            notes=f"needs 8 virtual devices, got {n_devices}"))
+        write_report("sharded_convergence", lanes)
+        return 1
+
+    n = 513
+    coils = (
+        Coil(r=3.5, z=4.8, current=-1.0), Coil(r=8.0, z=4.8, current=4.0),
+        Coil(r=10.8, z=0.0, current=6.0), Coil(r=8.0, z=-4.8, current=4.0),
+        Coil(r=3.5, z=-4.8, current=-1.0), Coil(r=10.8, z=2.5, current=3.0),
+    )
+    cfg = ReactorConfig(
+        reactor_name="sharded-convergence-513",
+        grid_resolution=(n, n),
+        dimensions=Dimensions(R_min=2.0, R_max=10.0, Z_min=-4.0, Z_max=4.0),
+        coils=coils,
+        physics=PhysicsParams(plasma_current_target=15.0,
+                              vacuum_permeability=1.0),
+        solver=SolverParams(max_iterations=600, convergence_threshold=1e-4,
+                            relaxation_factor=0.8, solver_method="anderson_mg",
+                            anderson_depth=4, inner_sweeps=1),
+    )
+    dtype = jnp.float64
+
+    # ── Lane 1: headline 513^2 nonlinear convergence across shard counts ──
+    ref = solve_equilibrium(cfg, dtype=dtype)
+    psi_ref = np.asarray(ref.psi)
+    span = float(psi_ref.max() - psi_ref.min())
+    ref_iters = int(ref.iterations)
+
+    per_shard = {}
+    timings = {}
+    all_ok = bool(ref.converged)
+    max_dev = 0.0
+    for n_sh in (1, 2, 4, 8):
+        mesh = make_z_mesh(n_sh)
+        res = solve_equilibrium_sharded(cfg, mesh, dtype=dtype)   # compile
+        t0 = time.perf_counter()
+        res = solve_equilibrium_sharded(cfg, mesh, dtype=dtype)
+        psi = np.asarray(res.psi)
+        timings[n_sh] = 1e3 * (time.perf_counter() - t0)
+        dev = float(np.max(np.abs(psi - psi_ref))) / span
+        max_dev = max(max_dev, dev)
+        conv = bool(res.converged)
+        per_shard[n_sh] = {
+            "converged": conv, "iterations": int(res.iterations),
+            "span_rel_dev_vs_single": dev,
+        }
+        all_ok = all_ok and conv and (int(res.iterations) == ref_iters)
+
+    gate_dev = 1e-8
+    lanes.append(LaneResult(
+        name="sharded_headline_convergence",
+        status="pass" if (all_ok and max_dev < gate_dev) else "fail",
+        metrics={
+            "grid": f"{n}x{n}",
+            "single_device_iterations": ref_iters,
+            "max_span_rel_dev_vs_single": max_dev,
+            **{f"shards_{k}_converged": v["converged"]
+               for k, v in per_shard.items()},
+            **{f"shards_{k}_iterations": v["iterations"]
+               for k, v in per_shard.items()},
+        },
+        thresholds={"max_span_rel_dev_vs_single": gate_dev},
+        notes="full Anderson-MG-Picard solve CONVERGES (dual residual "
+              "criterion) on 1/2/4/8-shard Z-slab meshes with identical "
+              "outer-iteration count; x64 CPU mesh"))
+
+    # ── Lane 2: residual-gated distributed linear solve at 513^2 ──
+    grid = Grid.from_bounds(n, n, 2.0, 10.0, -4.0, 4.0, dtype=np.float64)
+    rr, zz = np.asarray(grid.RR), np.asarray(grid.ZZ)
+    psi_exact = jnp.asarray(np.exp(-((rr - 6.0) ** 2 + zz**2) / 3.0), dtype)
+    src = gs_operator(psi_exact, grid.R, grid.dR, grid.dZ)
+    rng = np.random.default_rng(11)
+    noise = 0.05 * rng.standard_normal(grid.shape)
+    noise[0, :] = noise[-1, :] = 0.0
+    noise[:, 0] = noise[:, -1] = 0.0
+    psi0 = jnp.asarray(np.asarray(psi_exact) + noise, dtype)
+    tol = 1e-9
+    mesh8 = make_z_mesh(8)
+    psi_f, res_rms, k = sharded_mg_solve(
+        psi0, src, grid.R, mesh=mesh8, axis="z",
+        d_r=grid.dR, d_z=grid.dZ, tol=tol, max_cycles=80)
+    r = gs_residual(psi_f, src, grid.R, grid.dR, grid.dZ)
+    rms_chk = float(jnp.sqrt(
+        jnp.sum(r * r) / ((grid.NZ - 2) * (grid.NR - 2))))
+    err = float(jnp.max(jnp.abs(psi_f - psi_exact))) / float(
+        jnp.max(psi_exact) - jnp.min(psi_exact))
+    # Independent-recompute agreement: 1e-4 relative — the sharded psum and
+    # the host recompute differ by float reduction order only.
+    ok2 = (float(res_rms) < tol) and (abs(rms_chk - float(res_rms))
+                                      <= 1e-4 * max(rms_chk, 1e-30)) \
+        and int(k) < 80
+    lanes.append(LaneResult(
+        name="sharded_linear_residual_gate",
+        status="pass" if ok2 else "fail",
+        metrics={"residual_rms": float(res_rms), "v_cycles": int(k),
+                 "independent_residual_rms": rms_chk,
+                 "err_vs_manufactured_span_rel": err},
+        thresholds={"residual_rms": tol},
+        notes="distributed MG V-cycles run TO a residual tolerance "
+              "(8-shard mesh, 513^2 manufactured problem) — the gated-"
+              "convergence counterpart of mpi_domain.rs:804"))
+
+    # ── Lane 3: scaling shape (honest: virtual mesh, no speedup claim) ──
+    lanes.append(LaneResult(
+        name="sharded_scaling_shape_513",
+        status="pass" if all(np.isfinite(list(timings.values()))) else "fail",
+        metrics={f"ms_per_solve_{k}shards": round(v, 1)
+                 for k, v in timings.items()},
+        notes="513^2 nonlinear solve wall-clock per shard count on the "
+              "virtual CPU mesh — program-shape evidence only; real-chip "
+              "perf is bench.py's lane"))
+
+    path = write_report("sharded_convergence", lanes)
+    print(f"wrote {path}")
+    return 0 if all(lane.status == "pass" for lane in lanes) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
