@@ -1,0 +1,203 @@
+"""Ideal-MHD s-alpha ballooning eigenvalue solver with second-stability access.
+
+TPU-native port of the reference's full ballooning-equation machinery
+(``core/ballooning_solver.py:33-140``: shooting integration of the s-alpha
+ballooning ODE + binary-searched first-stability boundary, and
+``core/ballooning_second_stability.py:50-161``: critical-alpha-vs-shear table
+with second-stability classification).
+
+The reference integrates each (s, alpha) pair on the host with SciPy's
+adaptive ``solve_ivp`` and bisects with Python loops — one ODE solve at a
+time.  Here the ballooning equation
+
+    d/dtheta [ f(theta) d xi/dtheta ] + g(theta) xi = 0,
+    f = 1 + (s theta - alpha sin theta)^2,
+    g = alpha (cos theta + (s theta - alpha sin theta) sin theta),
+
+is integrated by a fixed-step RK4 ``lax.scan`` (static shapes, no
+data-dependent control flow), so the *entire* (s, alpha) stability map is ONE
+``vmap``-batched XLA program: thousands of field-line integrations run as a
+single vectorised kernel instead of thousands of host round-trips.  Stability
+is the reference's criterion: the Newcomb condition — xi launched from
+(1, 0) keeps its sign over the ballooning interval (a zero crossing marks
+instability; ``ballooning_solver.py:52-93``).
+
+Band extraction (first boundary, second boundary, second-stability access)
+is pure ``argmax`` logic over the vectorised map — jittable, differentiable
+through the smooth margin, and exact on the alpha grid.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _ballooning_min_xi(
+    s: jnp.ndarray,
+    alpha: jnp.ndarray,
+    theta_max: float,
+    n_steps: int,
+) -> jnp.ndarray:
+    """Minimum of xi(theta) over [0, theta_max] from xi(0)=1, xi'(0)=0.
+
+    RK4 on the first-order system (u1, u2) with u1 = xi, u2 = f xi'
+    (the reference's variables, ``ballooning_solver.py:60-64``); returns
+    min(u1): negative iff the displacement crossed zero (unstable).
+    """
+    h = theta_max / n_steps
+
+    def rhs(theta, y):
+        u1, u2 = y
+        w = s * theta - alpha * jnp.sin(theta)
+        f = 1.0 + w * w
+        g = alpha * (jnp.cos(theta) + w * jnp.sin(theta))
+        return jnp.stack([u2 / f, -g * u1])
+
+    def step(carry, i):
+        y, m = carry
+        t = i * h
+        k1 = rhs(t, y)
+        k2 = rhs(t + 0.5 * h, y + 0.5 * h * k1)
+        k3 = rhs(t + 0.5 * h, y + 0.5 * h * k2)
+        k4 = rhs(t + h, y + h * k3)
+        y = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        return (y, jnp.minimum(m, y[0])), None
+
+    y0 = jnp.stack([jnp.ones_like(s * alpha), jnp.zeros_like(s * alpha)])
+    (y, m), _ = jax.lax.scan(step, (y0, jnp.asarray(1.0, y0.dtype)),
+                             jnp.arange(n_steps))
+    return m
+
+
+@partial(jax.jit, static_argnames=("theta_max", "n_steps"))
+def ballooning_stable(
+    s,
+    alpha,
+    *,
+    theta_max: float = 20.0 * float(jnp.pi),
+    n_steps: int = 4000,
+) -> jnp.ndarray:
+    """True where the (s, alpha) point is ideal-ballooning stable.
+
+    Broadcasts over array inputs — a whole stability diagram is one call.
+    """
+    s = jnp.asarray(s, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    alpha = jnp.asarray(alpha, s.dtype)
+    s_b, a_b = jnp.broadcast_arrays(s, alpha)
+    flat = jax.vmap(
+        lambda sv, av: _ballooning_min_xi(sv, av, theta_max, n_steps)
+    )(s_b.reshape(-1), a_b.reshape(-1))
+    return (flat > 0.0).reshape(s_b.shape)
+
+
+class SecondStabilityResult(NamedTuple):
+    """Per-shear ballooning band structure on an alpha grid.
+
+    alpha_crit_first : lower (first-stability) boundary — smallest alpha on
+        the grid that is unstable; ``alpha_max`` where no instability exists
+        (full second-stability access at this shear, stored at the scan
+        ceiling exactly like the reference artifact,
+        ``ballooning_second_stability.py:112-118``).
+    alpha_crit_second : upper boundary — smallest alpha above the unstable
+        band that is stable again; NaN where the band never closes below
+        the ceiling.
+    second_access : the unstable band closes below ``alpha_max`` (or never
+        opens): increasing pressure gradient re-enters stability.
+    """
+
+    shear: jnp.ndarray
+    alpha: jnp.ndarray
+    stable_map: jnp.ndarray         # (n_s, n_alpha) bool
+    alpha_crit_first: jnp.ndarray   # (n_s,)
+    alpha_crit_second: jnp.ndarray  # (n_s,)
+    second_access: jnp.ndarray      # (n_s,) bool
+
+    def alpha_crit_at(self, shat) -> jnp.ndarray:
+        """Interpolated first-stability critical alpha at ``shat`` (clamped
+        linear interp — reference ``alpha_crit_at``,
+        ``ballooning_second_stability.py:131-151``)."""
+        return jnp.interp(jnp.asarray(shat), self.shear, self.alpha_crit_first)
+
+    def has_second_stability_at(self, shat) -> jnp.ndarray:
+        """Nearest-neighbour second-stability classification (the boolean is
+        not interpolable; reference ``has_second_stability_at``)."""
+        idx = jnp.argmin(jnp.abs(self.shear - jnp.asarray(shat)))
+        return self.second_access[idx]
+
+
+@partial(jax.jit, static_argnames=("n_alpha", "theta_max", "n_steps"))
+def second_stability_scan(
+    s_vals: jnp.ndarray,
+    *,
+    alpha_max: float = 5.0,
+    n_alpha: int = 64,
+    theta_max: float = 20.0 * float(jnp.pi),
+    n_steps: int = 4000,
+) -> SecondStabilityResult:
+    """Full s-alpha diagram with first/second boundaries and access flags.
+
+    One XLA program: ``n_s * n_alpha`` RK4 field-line integrations batched
+    through ``vmap`` (vs the reference's per-point host bisection,
+    ``ballooning_solver.py:96-135``), then band edges via index arithmetic.
+    """
+    s_vals = jnp.asarray(s_vals)
+    alphas = jnp.linspace(0.0, alpha_max, n_alpha, dtype=s_vals.dtype)
+    stable = ballooning_stable(
+        s_vals[:, None], alphas[None, :],
+        theta_max=theta_max, n_steps=n_steps)          # (n_s, n_alpha)
+
+    unstable = ~stable
+    any_unstable = jnp.any(unstable, axis=1)
+    # First boundary: first unstable alpha index along the grid.
+    i_first = jnp.argmax(unstable, axis=1)
+    alpha_first = jnp.where(any_unstable, alphas[i_first],
+                            jnp.asarray(alpha_max, alphas.dtype))
+
+    # Second boundary: first stable alpha AFTER the last unstable point.
+    idx = jnp.arange(n_alpha)
+    i_last_unstable = (n_alpha - 1) - jnp.argmax(unstable[:, ::-1], axis=1)
+    beyond = idx[None, :] > i_last_unstable[:, None]
+    reentry = stable & beyond
+    any_reentry = jnp.any(reentry, axis=1) & any_unstable
+    i_second = jnp.argmax(reentry, axis=1)
+    alpha_second = jnp.where(any_reentry, alphas[i_second], jnp.nan)
+
+    second_access = any_reentry | ~any_unstable
+    return SecondStabilityResult(
+        shear=s_vals, alpha=alphas, stable_map=stable,
+        alpha_crit_first=alpha_first, alpha_crit_second=alpha_second,
+        second_access=second_access)
+
+
+def marginal_alpha(
+    s: float,
+    *,
+    alpha_lo: float = 0.0,
+    alpha_hi: float = 2.0,
+    n_bisect: int = 24,
+    theta_max: float = 20.0 * float(jnp.pi),
+    n_steps: int = 4000,
+) -> jnp.ndarray:
+    """Bisected first-stability boundary at fixed shear (reference
+    ``find_marginal_stability``, ``ballooning_solver.py:96-135``).
+
+    A fixed-trip-count bisection ``scan`` (jittable): assumes stability at
+    ``alpha_lo`` and instability at ``alpha_hi`` — use ``second_stability_scan``
+    for the general banded structure.
+    """
+    def body(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        stab = _ballooning_min_xi(
+            jnp.asarray(s, mid.dtype), mid, theta_max, n_steps) > 0.0
+        return (jnp.where(stab, mid, lo), jnp.where(stab, hi, mid)), None
+
+    lo0 = jnp.asarray(alpha_lo, jnp.float64
+                      if jax.config.jax_enable_x64 else jnp.float32)
+    hi0 = jnp.asarray(alpha_hi, lo0.dtype)
+    (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), None, length=n_bisect)
+    return 0.5 * (lo + hi)

@@ -123,6 +123,34 @@ def ballooning_stability(qp: QProfile) -> BallooningResult:
                             alpha_crit - alpha)
 
 
+def ballooning_stability_eigen(
+    qp: QProfile,
+    *,
+    alpha_max: float = 5.0,
+    n_alpha: int = 64,
+) -> BallooningResult:
+    """Eigenvalue-based ballooning boundary WITH second-stability access.
+
+    Replaces the closed-form Connor-Hastie-Taylor first boundary with the
+    full s-alpha ballooning-equation scan (``physics/ballooning.py`` —
+    reference ``ballooning_solver.py`` + ``ballooning_second_stability.py``):
+    a point is stable when it sits below the first boundary OR above the
+    second boundary (second-stability access, which the closed-form lane
+    cannot represent — the regime real pedestals exploit).  ``alpha_crit``
+    reports the first boundary (scan ceiling on full-access rows, matching
+    the reference artifact convention).
+    """
+    from scpn_fusion_tpu.models.physics.ballooning import ballooning_stable, \
+        second_stability_scan
+
+    s, alpha = qp.shear, qp.alpha_mhd
+    stable = ballooning_stable(jnp.maximum(s, 0.0), jnp.maximum(alpha, 0.0))
+    scan = second_stability_scan(
+        jnp.maximum(s, 0.0), alpha_max=alpha_max, n_alpha=n_alpha)
+    return BallooningResult(qp.rho, s, alpha, scan.alpha_crit_first, stable,
+                            scan.alpha_crit_first - alpha)
+
+
 class KruskalShafranovResult(NamedTuple):
     q_edge: jnp.ndarray
     stable: jnp.ndarray
