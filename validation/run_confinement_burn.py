@@ -1,21 +1,28 @@
 #!/usr/bin/env python
 """Confinement-scaling + burn-point validation campaign.
 
-Reference parity: the ITPA H-mode confinement lane (RESULTS.md
-"Confinement Scaling": IPB98(y,2) over a multi-machine table) and the
-Q>=10 scan (RESULTS.md "Q>=10 scan / TBR": Q=15, TBR=1.141).
+Round-3 upgrade (VERDICT r2 #5): the lanes gate against the REFERENCE'S OWN
+numbers, not self-set envelopes — each lane now fails if the physics
+regresses.
 
 Lanes (fail-closed):
-1. ipb98_machine_table — tau_E prediction over a public-parameter machine
-   table; threshold: relative RMSE of log(tau) < 0.25 against the
-   scaling's own published exponents evaluated at table conditions (the
-   table stores engineering parameters + measured-tau surrogates derived
-   from public machine summaries).
-2. q10_design_point    — ITER-like 0D burn point reaches Q >= 10.
-3. tbr_closure         — breeding blanket TBR > 1.05 at reference
-   enrichment/thickness.
+1. itpa_hmode_53shot_table — IPB98(y,2) tau_E over the reference's committed
+   ITPA H-mode table (53 shots / 24 machines, read-only at
+   ``/root/reference/validation/reference_data/itpa/hmode_confinement.csv``).
+   Gates: RMSE(s) <= 0.105 AND |RMSE - 0.0969| <= 2e-3 — the reference's
+   exact figure (RESULTS.md "Confinement Scaling", RMSE 0.0969 s), since the
+   scaling law is the same published exponent set.
+2. q10_design_point — ITER-like 0D burn point reaches Q >= 10 (reference
+   Q>=10 scan).
+3. tbr_reference_parity — 3-group blanket at the REFERENCE configuration
+   (80 cm, 90% Li-6, port/streaming 0.80/0.85): |TBR - 1.1409| <= 1e-3
+   with the per-group breakdown pinned (fast 0.0278 / epithermal 0.2257 /
+   thermal 0.8875; reference RESULTS.md:69-72).
+4. tbr_closure_margin — breeding margin TBR > 1.05 at the same reference
+   configuration (the reference's own acceptance row, RESULTS.md:223).
 """
 
+import csv
 import sys
 from pathlib import Path
 
@@ -23,23 +30,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
-# Public-parameter shots: (name, Ip MA, Bt T, ne19, Ploss MW, R m, kappa,
-# eps, tau_measured s) — tau values are representative H-mode numbers for
-# each machine class (public summaries), used as an envelope check.
-MACHINE_TABLE = [
-    ("jet_hmode", 3.0, 3.4, 5.0, 16.0, 2.96, 1.7, 0.33, 0.36),
-    ("diiid_hmode", 1.2, 2.1, 5.5, 8.0, 1.67, 1.8, 0.40, 0.13),
-    ("aug_hmode", 1.0, 2.5, 7.0, 7.0, 1.65, 1.6, 0.30, 0.09),
-    ("cmod_hmode", 1.0, 5.4, 20.0, 4.0, 0.68, 1.6, 0.32, 0.055),
-    ("iter_pred", 15.0, 5.3, 10.0, 100.0, 6.2, 1.8, 0.32, 3.4),
-]
+ITPA_CSV = Path(
+    "/root/reference/validation/reference_data/itpa/hmode_confinement.csv")
+REF_RMSE_S = 0.0969          # reference RESULTS.md "Confinement Scaling"
+REF_TBR = 1.1409             # reference RESULTS.md:69 (3-group, 80cm, 90%)
+REF_TBR_GROUPS = (0.0278, 0.2257, 0.8875)
 
 
 def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
     import jax.numpy as jnp
 
+    from scpn_fusion_tpu.models.nuclear.blanket import (
+        MultiGroupConfig,
+        multigroup_tbr,
+    )
     from scpn_fusion_tpu.models.physics.scaling_burn import (
-        blanket_tbr,
         burn_equilibrium_0d,
         ipb98y2_tau_e,
     )
@@ -47,23 +57,41 @@ def main() -> int:
 
     lanes = []
 
-    # Lane 1: machine table
-    errs = []
-    per_machine = {}
-    for (name, ip, bt, ne, pl, r, kappa, eps, tau_meas) in MACHINE_TABLE:
-        tau = float(ipb98y2_tau_e(ip, bt, ne, pl, r, kappa, eps))
-        per_machine[name] = {"tau_pred_s": tau, "tau_meas_s": tau_meas}
-        errs.append(np.log(tau) - np.log(tau_meas))
-    rmse = float(np.sqrt(np.mean(np.square(errs))))
-    lanes.append(LaneResult(
-        name="ipb98_machine_table",
-        status="pass" if rmse < 0.25 else "fail",
-        metrics={"log_tau_rmse": rmse, **{
-            f"{k}_tau_s": v["tau_pred_s"] for k, v in per_machine.items()}},
-        thresholds={"log_tau_rmse_max": 0.25},
-        notes=f"{len(MACHINE_TABLE)} machines, public-parameter envelope"))
+    # ── Lane 1: ITPA 53-shot table ──
+    if not ITPA_CSV.is_file():
+        lanes.append(LaneResult(
+            name="itpa_hmode_53shot_table", status="blocked",
+            notes=f"reference ITPA table not found at {ITPA_CSV}"))
+    else:
+        rows = list(csv.DictReader(ITPA_CSV.open()))
+        ip = jnp.asarray([float(r["Ip_MA"]) for r in rows])
+        bt = jnp.asarray([float(r["BT_T"]) for r in rows])
+        ne = jnp.asarray([float(r["ne19_1e19m3"]) for r in rows])
+        pl = jnp.asarray([float(r["Ploss_MW"]) for r in rows])
+        rm = jnp.asarray([float(r["R_m"]) for r in rows])
+        am = jnp.asarray([float(r["a_m"]) for r in rows])
+        kap = jnp.asarray([float(r["kappa"]) for r in rows])
+        m_amu = jnp.asarray([float(r["M_AMU"]) for r in rows])
+        tau_meas = np.asarray([float(r["tau_E_s"]) for r in rows])
 
-    # Lane 2: Q>=10 burn point
+        tau_pred = np.asarray(
+            ipb98y2_tau_e(ip, bt, ne, pl, rm, kap, am / rm, m_amu))
+        rmse = float(np.sqrt(np.mean((tau_pred - tau_meas) ** 2)))
+        n_machines = len({r["machine"] for r in rows})
+        ok = (rmse <= 0.105) and (abs(rmse - REF_RMSE_S) <= 2e-3)
+        lanes.append(LaneResult(
+            name="itpa_hmode_53shot_table",
+            status="pass" if ok else "fail",
+            metrics={"tau_rmse_s": rmse, "reference_rmse_s": REF_RMSE_S,
+                     "n_shots": len(rows), "n_machines": n_machines,
+                     "max_abs_err_s": float(np.max(np.abs(tau_pred - tau_meas)))},
+            thresholds={"tau_rmse_s_max": 0.105,
+                        "abs_dev_from_reference_rmse": 2e-3},
+            notes="IPB98(y,2) over the reference's committed 53-shot/"
+                  "24-machine ITPA table (read-only CSV); gate pinned to "
+                  "the reference's own RMSE"))
+
+    # ── Lane 2: Q>=10 burn point ──
     burn = burn_equilibrium_0d(ne19=10.0, p_aux_mw=50.0, ip_ma=15.0,
                                bt_t=5.3, r_m=6.2, a_m=2.0, kappa=1.8)
     q = float(burn.q_fusion)
@@ -76,15 +104,34 @@ def main() -> int:
         thresholds={"q_min": 10.0},
         notes="ITER-like 0D burn point (reference Q>=10 scan lane)"))
 
-    # Lane 3: TBR closure
-    res = blanket_tbr(thickness_cm=100.0, li6_enrichment=0.9)
+    # ── Lane 3: TBR parity at the reference configuration ──
+    res = multigroup_tbr(MultiGroupConfig(thickness_cm=80.0,
+                                          li6_enrichment=0.9))
     tbr = float(res.tbr)
+    groups = np.asarray(res.tbr_per_group)
+    group_dev = float(np.max(np.abs(groups - np.asarray(REF_TBR_GROUPS))))
+    ok3 = (abs(tbr - REF_TBR) <= 1e-3) and (group_dev <= 2e-3)
     lanes.append(LaneResult(
-        name="tbr_closure",
+        name="tbr_reference_parity",
+        status="pass" if ok3 else "fail",
+        metrics={"tbr": tbr, "reference_tbr": REF_TBR,
+                 "tbr_fast": float(groups[0]),
+                 "tbr_epithermal": float(groups[1]),
+                 "tbr_thermal": float(groups[2]),
+                 "max_group_dev": group_dev},
+        thresholds={"abs_tbr_dev": 1e-3, "max_group_dev": 2e-3},
+        notes="3-group blanket at the reference's exact configuration "
+              "(80 cm, 90% Li-6, 0.80x0.85 correction) with per-group "
+              "breakdown pinned to RESULTS.md:69-72"))
+
+    # ── Lane 4: breeding margin (reference acceptance row) ──
+    lanes.append(LaneResult(
+        name="tbr_closure_margin",
         status="pass" if tbr > 1.05 else "fail",
         metrics={"tbr": tbr},
         thresholds={"tbr_min": 1.05},
-        notes="3-group cylindrical blanket (reference TBR=1.141 lane)"))
+        notes="TBR > 1.05 acceptance at the reference configuration "
+              "(RESULTS.md:223)"))
 
     path = write_report("confinement_burn", lanes)
     print(f"wrote {path}")
