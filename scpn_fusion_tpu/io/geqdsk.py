@@ -252,14 +252,24 @@ def read_geqdsk(path: str | Path) -> GEqdsk:
 def _fmt_one(v: float) -> str:
     """One value in 16 columns of Fortran E16.9.
 
-    A 3-digit exponent makes the standard form 16 characters with no
-    leading separator, which merges adjacent tokens in the 5-per-line
-    record.  Fortran solves this by dropping the 'E' (the bare-exponent
-    form ``1.5-101``) to stay inside the field width — emit exactly that;
-    the tokenizer normalises it back (hypothesis round-trip lane,
-    ``tests/test_fuzz_parsers.py``)."""
+    Three cases by exponent width and sign:
+
+    * 2-digit exponent, negative value: the standard form is exactly 16
+      chars starting with '-'.  KEEP it — external fixed-width readers
+      ``float()`` it, and the leading sign is an unambiguous token
+      boundary for regex readers (ADVICE.md r2 medium: the bare form was
+      an interop regression here).
+    * 3-digit exponent, positive value: the standard form is 16 chars
+      starting with a DIGIT — it merges with the preceding token for any
+      whitespace/regex reader (``...E+003.890...``).  Fortran's answer is
+      dropping the 'E' (bare-exponent ``3.89-146``, 15 chars, padded to a
+      leading space); emit that — the tokenizer normalises it back
+      (hypothesis round-trip lane, ``tests/test_fuzz_parsers.py``).
+    * 3-digit exponent, negative value: the standard form is 17 chars —
+      too wide; the bare form is the only option (16 chars, sign-leading,
+      unambiguous)."""
     s = f"{v:16.9E}"
-    if len(s) > 16 or s[0] != " ":
+    if len(s) > 16 or s[0] not in (" ", "-"):
         s = s.replace("E", "")
         s = " " * max(16 - len(s), 0) + s
     return s
@@ -294,3 +304,63 @@ def write_geqdsk(eq: GEqdsk, path: str | Path, *, description: str | None = None
     if eq.rlim.size:
         lines.append(_fmt(np.stack([eq.rlim, eq.zlim], axis=1)))
     Path(path).write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+
+def geqdsk_from_solution(cfg, res, *, description: str = "scpn-fusion-tpu",
+                         bcentr: float = 1.0) -> GEqdsk:
+    """Build a writable :class:`GEqdsk` from a solved fixed-boundary
+    equilibrium (``models.equilibrium.EquilibriumResult``).
+
+    Export counterpart of the reference's eqdsk writer (``io/eqdsk.py``):
+    psirz is the solved flux map; simag/sibry come from the axis max and
+    the boundary ring; the 1D tables carry the solver's own p'(psi_N) and
+    FF'(psi_N) profile shapes with pressure and F integrated from them
+    (F(1)^2 = (rcentr*bcentr)^2).  ``qpsi`` is exported as zeros — the
+    writer's consumers here (round-trip + reconstruction lanes) do not
+    define a q table for fixed-boundary normalised-unit solves.
+    """
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.models.equilibrium.profiles import (
+        mtanh_profile,
+        profile_coeffs_from_physics,
+    )
+
+    psi = np.asarray(res.psi, dtype=np.float64)
+    nh, nw = psi.shape
+    r_min, r_max = cfg.dimensions.R_min, cfg.dimensions.R_max
+    z_min, z_max = cfg.dimensions.Z_min, cfg.dimensions.Z_max
+    iz, ir = np.unravel_index(np.argmax(psi), psi.shape)
+    r_1d = np.linspace(r_min, r_max, nw)
+    z_1d = np.linspace(z_min, z_max, nh)
+    simag = float(psi[iz, ir])
+    sibry = float(psi[0].max())         # Dirichlet boundary ring value scale
+    rcentr = 0.5 * (r_min + r_max)
+
+    psi_n = np.linspace(0.0, 1.0, nw)
+    dtype = jnp.float64
+    p_c, ff_c = profile_coeffs_from_physics(cfg.physics, dtype)
+    pprime = np.asarray(mtanh_profile(jnp.asarray(psi_n), p_c))
+    ffprime = np.asarray(mtanh_profile(jnp.asarray(psi_n), ff_c))
+
+    # Integrate the tables: psi = simag + psi_N * (sibry - simag).
+    dpsi = (sibry - simag) / (nw - 1)
+    # p(psi_N) = -int_{psi_N}^{1} p' dpsi  (p(1) = 0 at the boundary)
+    rev = np.cumsum((pprime[::-1][:-1] + pprime[::-1][1:]) * 0.5) * dpsi
+    pres = np.concatenate([rev[::-1], [0.0]])
+    f1_sq = (rcentr * bcentr) ** 2
+    rev_ff = np.cumsum((ffprime[::-1][:-1] + ffprime[::-1][1:]) * 0.5) * dpsi
+    f_sq = np.concatenate([f1_sq - 2.0 * rev_ff[::-1], [f1_sq]])
+    fpol = np.sqrt(np.maximum(f_sq, 0.0))
+
+    return GEqdsk(
+        description=description, nw=nw, nh=nh,
+        rdim=r_max - r_min, zdim=z_max - z_min,
+        rcentr=rcentr, rleft=r_min, zmid=0.5 * (z_min + z_max),
+        rmaxis=float(r_1d[ir]), zmaxis=float(z_1d[iz]),
+        simag=simag, sibry=sibry, bcentr=bcentr,
+        current=float(np.sum(np.asarray(res.j_phi))
+                      * (r_1d[1] - r_1d[0]) * (z_1d[1] - z_1d[0])),
+        fpol=fpol, pres=pres, ffprime=ffprime, pprime=pprime,
+        qpsi=np.zeros(nw), psirz=psi,
+    )

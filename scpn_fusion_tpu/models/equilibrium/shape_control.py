@@ -136,7 +136,11 @@ def reconstruct_coil_currents(
     else:
         big = jnp.full((n_coils,), 1e30, dtype)
         lb, ub = -big, big
-    currents = bounded_lstsq(a, b, lb, ub, x0=prior, n_iter=n_iter)
+    # No x0: the prior is already anchored via the Tikhonov rows above; the
+    # exact unconstrained-lstsq warm start is required for the near-exact
+    # recovery gate when alpha is tiny (bounded_lstsq honors x0 verbatim
+    # since the ADVICE r2 fix, so passing the prior would cold-start FISTA).
+    currents = bounded_lstsq(a, b, lb, ub, n_iter=n_iter)
     residual = response @ currents - measurements
     return ReconstructionResult(
         coil_currents=currents,

@@ -158,11 +158,17 @@ class TGLFSolver(_ExternalGKSolver):
                     key = toks[0].lower()
                     if key == "chi_i":
                         chi_i = float(toks[1])
+                        converged = True
                     elif key == "chi_e":
                         chi_e = float(toks[1])
+                        converged = True
                     elif key in ("d_e", "particle_flux"):
                         d_e = float(toks[1])
-                converged = True
+                        converged = True
+                # converged only when at least one recognized transport key
+                # actually parsed: an unrelated/empty file must NOT read as a
+                # valid all-zero stable result (ADVICE r2) — the hybrid
+                # scheduler treats converged=False as "spot-check unavailable".
             except ValueError as exc:
                 logger.warning("TGLF transport parse error: %s", exc)
         k_y = gamma = omega_r = np.empty(0)

@@ -30,16 +30,18 @@ def bounded_lstsq(
 ) -> jnp.ndarray:
     """Solve min ||A x - b||^2 subject to box bounds via projected FISTA.
 
-    The iteration warm-starts from the box-projected UNCONSTRAINED lstsq
-    solution: exact immediately when no bound is active (the common case),
-    and a near-optimal start otherwise — FISTA then only repairs the
-    active-set boundary, so ill-conditioned systems converge in far fewer
-    iterations than from a cold start.
+    When ``x0`` is None the iteration warm-starts from the box-projected
+    UNCONSTRAINED lstsq solution: exact immediately when no bound is active
+    (the common case), and a near-optimal start otherwise — FISTA then only
+    repairs the active-set boundary.  A caller-supplied ``x0`` is honored
+    verbatim (warm-start contract for tracking loops passing last-tick
+    currents) and the O(mn^2) SVD is skipped entirely (ADVICE r2).
     """
     m, n = a.shape
-    x_uncon = jnp.linalg.lstsq(a, b)[0]
-    x0 = x_uncon if x0 is None else jnp.where(
-        jnp.all(jnp.isfinite(x_uncon)), x_uncon, x0)
+    if x0 is None:
+        x_uncon = jnp.linalg.lstsq(a, b)[0]
+        x0 = jnp.where(jnp.all(jnp.isfinite(x_uncon)), x_uncon,
+                       jnp.zeros_like(x_uncon))
     x0 = jnp.clip(x0, lb, ub)
 
     ata = a.T @ a

@@ -89,7 +89,9 @@ def _load_checkpoint_unchecked(path: str | Path,
         if tuple(got.shape) != tuple(np.shape(want)):
             raise ValueError(
                 f"leaf {i} shape {got.shape} != expected {np.shape(want)}")
-        want_dtype = manifest["dtypes"].get(f"leaf_{i}")
+        # .get: checkpoints saved before the dtype manifest was added carry
+        # the same schema id but no "dtypes" key — still valid (ADVICE r2).
+        want_dtype = manifest.get("dtypes", {}).get(f"leaf_{i}")
         if want_dtype is not None and str(got.dtype) != want_dtype:
             raise ValueError(
                 f"leaf {i} dtype {got.dtype} != manifest dtype {want_dtype}")
