@@ -75,9 +75,11 @@ class TGLFNativeConfig:
     alpha_cs: float = ALPHA_CS_DEFAULT
     # Opt-in kinetic trapped-electron response in the ion-scale dispersion:
     # gives a genuine TEM branch (positive-omega_r roots driven by R/L_ne
-    # and R/L_Te), but the reduced deeply-trapped model over-drives growth
-    # by a factor of a few vs published TEM rates — calibration limit
-    # disclosed; default stays adiabatic (ITG-accurate).
+    # and R/L_Te), but the reduced deeply-trapped transit-free model
+    # over-drives growth by ~12x vs the TGLF TEM fixture rate at fixture
+    # collisionality (measured + pinned by
+    # validation/run_gk_growth_rates.py lane tem_overdrive_quantified) —
+    # calibration limit disclosed; default stays adiabatic (ITG-accurate).
     kinetic_electrons: bool = False
 
     def __post_init__(self) -> None:

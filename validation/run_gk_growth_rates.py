@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Quantitative GK growth-rate benchmark (VERDICT r2 #7).
+
+Round 2 gated only amplitude GROWTH (ratio > 1); this campaign gates rate
+MAGNITUDE against the committed TGLF regime fixtures
+(``validation/configs/tglf_reference/*.json`` — canonical Staebler 2007
+regime data re-authored from the reference) and pins the branch-selection
+fix in ``models/gyrokinetics/local_dispersion.py`` (max-gamma root over all
+polished candidates instead of nearest-root — round 2's jagged spectra).
+
+Lanes (fail-closed):
+1. itg_spectrum_physicality — gamma(k_y) on the ITG fixture: every point
+   converged, ion-direction (omega_r < 0) where growing, and the spectrum
+   is branch-hop-free (bounded neighbour-to-neighbour jumps).
+2. itg_rate_vs_fixture — gamma at the fixture's own most-unstable k_y
+   (0.35), converted to c_s/a: within a factor-2.5 band of the fixture's
+   0.32 (a reduced strong-ballooning adiabatic-electron model; the
+   measured ratio is recorded).
+3. tem_overdrive_quantified — the disclosed deeply-trapped TEM over-drive
+   (``tglf_native.py``) MEASURED at the TEM fixture: electron-direction
+   mode (omega_r > 0) with the over-drive factor recorded and gated
+   against a declared ceiling (<= 20) — round 2 said "a factor of a few";
+   the measured value at fixture collisionality is ~12x.
+4. itg_critical_gradient — gamma_max(R/L_T) at CBC-like parameters:
+   quiet below R/L_T ~ 4, strong growth above 10, never decreasing by
+   more than noise — the critical-gradient (Dimits-adjacent) structure.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+FIXTURES = Path(__file__).resolve().parent / "configs" / "tglf_reference"
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.models.gyrokinetics.local_dispersion import (
+        solve_local_kinetic_dispersion,
+    )
+    from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
+
+    lanes = []
+    itg = json.loads((FIXTURES / "itg_dominated.json").read_text())
+    tem = json.loads((FIXTURES / "tem_dominated.json").read_text())
+    r_over_a = itg["input_parameters"]["R_major_m"] \
+        / itg["input_parameters"]["a_minor_m"]
+
+    # ── Lane 1: ITG spectrum physicality ──
+    kys = np.linspace(0.15, 0.9, 11)
+    gam, omr, conv = [], [], []
+    for ky in kys:
+        r = solve_local_kinetic_dispersion(
+            jnp.asarray(ky), r_l_t=itg["input_parameters"]["R_LT_i"],
+            r_l_n=itg["input_parameters"]["R_Ln_e"], tau=1.0,
+            q=itg["input_parameters"]["q"])
+        gam.append(float(r.gamma))
+        omr.append(float(r.omega_r))
+        conv.append(bool(r.converged))
+    gam, omr = np.asarray(gam), np.asarray(omr)
+    growing = gam > 1e-3
+    jumps = np.abs(np.diff(gam))
+    ok1 = (all(conv) and bool(np.all(omr[growing] < 0.0))
+           and float(np.max(jumps)) < 0.08)
+    lanes.append(LaneResult(
+        name="itg_spectrum_physicality",
+        status="pass" if ok1 else "fail",
+        metrics={"n_ky": len(kys), "all_converged": all(conv),
+                 "max_neighbour_jump": float(np.max(jumps)),
+                 "gamma_max_cs_R": float(np.max(gam)),
+                 "ion_direction_where_growing": bool(
+                     np.all(omr[growing] < 0.0))},
+        thresholds={"max_neighbour_jump": 0.08},
+        notes="branch-hop-free converged gamma(k_y) on the ITG fixture "
+              "(max-gamma root selection; round 2's spectra were jagged)"))
+
+    # ── Lane 2: ITG rate magnitude at the fixture's k_y ──
+    ky_fix = itg["tglf_output"]["ky_max_rho_s"]
+    gamma_fix = itg["tglf_output"]["gamma_max_cs_a"]
+    r = solve_local_kinetic_dispersion(
+        jnp.asarray(ky_fix), r_l_t=itg["input_parameters"]["R_LT_i"],
+        r_l_n=itg["input_parameters"]["R_Ln_e"], tau=1.0,
+        q=itg["input_parameters"]["q"])
+    gamma_cs_a = float(r.gamma) * r_over_a
+    ratio = gamma_cs_a / gamma_fix
+    band = 2.5
+    lanes.append(LaneResult(
+        name="itg_rate_vs_fixture",
+        status="pass" if (1.0 / band <= ratio <= band
+                          and bool(r.converged)) else "fail",
+        metrics={"gamma_cs_a": gamma_cs_a, "fixture_gamma_cs_a": gamma_fix,
+                 "ratio": ratio, "ky": ky_fix,
+                 "omega_r": float(r.omega_r)},
+        thresholds={"ratio_band": band},
+        notes="reduced strong-ballooning adiabatic-electron dispersion vs "
+              "the TGLF fixture rate at the fixture's own k_y — magnitude "
+              "gate, not just amplitude growth (VERDICT r2 weak #6)"))
+
+    # ── Lane 3: TEM over-drive quantified ──
+    p = tem["input_parameters"]
+    eps = p["rho_tor"] * p["a_minor_m"] / p["R_major_m"]
+    nu_detrap = p["nu_ei_norm"] / eps
+    r = solve_local_kinetic_dispersion(
+        jnp.asarray(tem["tglf_output"]["ky_max_rho_s"]),
+        r_l_t=p["R_LT_i"], r_l_n=p["R_Ln_e"], tau=1.0 / p["T_e_T_i"],
+        q=p["q"], kinetic_electrons=True, r_l_te=p["R_LT_e"],
+        nu_detrap=nu_detrap)
+    gamma_tem = float(r.gamma) * r_over_a
+    overdrive = gamma_tem / tem["tglf_output"]["gamma_max_cs_a"]
+    ok3 = bool(r.converged) and float(r.omega_r) > 0.0 \
+        and 1.0 <= overdrive <= 20.0
+    lanes.append(LaneResult(
+        name="tem_overdrive_quantified",
+        status="pass" if ok3 else "fail",
+        metrics={"gamma_cs_a": gamma_tem,
+                 "fixture_gamma_cs_a": tem["tglf_output"]["gamma_max_cs_a"],
+                 "overdrive_factor": overdrive,
+                 "omega_r_electron_direction": float(r.omega_r),
+                 "nu_detrap_at_fixture": nu_detrap},
+        thresholds={"overdrive_ceiling": 20.0},
+        notes="the deeply-trapped transit-free TEM branch over-drives by "
+              f"~{overdrive:.0f}x at fixture collisionality — measured "
+              "and pinned (was disclosed only as 'a factor of a few'); "
+              "correct electron-direction classification gated"))
+
+    # ── Lane 4: critical-gradient structure ──
+    rlts = [2.0, 4.0, 6.0, 8.0, 10.0, 12.0]
+    gmax = []
+    for rlt in rlts:
+        g = 0.0
+        for ky in (0.3, 0.5, 0.7):
+            rr = solve_local_kinetic_dispersion(
+                jnp.asarray(ky), r_l_t=rlt, r_l_n=2.2, tau=1.0, q=1.4)
+            g = max(g, float(rr.gamma))
+        gmax.append(g)
+    gmax = np.asarray(gmax)
+    ok4 = (gmax[0] < 0.02                        # quiet at R/L_T = 2
+           and gmax[-1] > 10.0 * max(gmax[1], 1e-6)   # strong at 12
+           and bool(np.all(np.diff(gmax) > -0.01)))   # no real decrease
+    lanes.append(LaneResult(
+        name="itg_critical_gradient",
+        status="pass" if ok4 else "fail",
+        metrics={f"gamma_max_RLT_{int(r_)}": float(g)
+                 for r_, g in zip(rlts, gmax)},
+        thresholds={"quiet_below": 0.02, "growth_ratio_12_vs_4": 10.0},
+        notes="gamma_max(R/L_T) at CBC-like parameters shows the "
+              "critical-gradient structure: quiet below ~4, strong "
+              "above ~10, monotone within noise"))
+
+    path = write_report("gk_growth_rates", lanes)
+    print(f"wrote {path}")
+    return 0 if all(lane.status == "pass" for lane in lanes) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
