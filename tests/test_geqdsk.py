@@ -147,3 +147,32 @@ def test_bare_exponent_does_not_split_adjacent_negatives():
     assert _FLOAT_RE.findall("0.9722-0.2065") == ["0.9722", "-0.2065"]
     assert _FLOAT_RE.findall("1.5-101") == ["1.5-101"]
     assert _FLOAT_RE.findall("1.2E-10-0.23") == ["1.2E-10", "-0.23"]
+
+
+def test_geqdsk_from_solution_roundtrip(tmp_path):
+    """Solve -> export -> parse: psirz survives bit-faithfully (to format
+    precision), Ip matches the solved current integral, and the exported
+    profile tables are physically consistent (p(1) = 0, F(1) = R0*B0)."""
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.io.geqdsk import geqdsk_from_solution
+    from scpn_fusion_tpu.models.equilibrium import solve_equilibrium
+    from tests.test_fixed_boundary import make_cfg
+
+    cfg = make_cfg("multigrid", n=33, inner_sweeps=1)
+    res = solve_equilibrium(cfg, dtype=jnp.float64)
+    assert bool(res.converged)
+
+    eq = geqdsk_from_solution(cfg, res)
+    p = tmp_path / "sol.geqdsk"
+    write_geqdsk(eq, p)
+    eq2 = read_geqdsk(p)
+
+    span = float(np.ptp(eq.psirz))
+    np.testing.assert_allclose(eq2.psirz, eq.psirz, atol=1e-6 * span)
+    ip = float(jnp.sum(res.j_phi)) * (8.0 / 32) * (8.0 / 32)
+    np.testing.assert_allclose(eq.current, ip, rtol=1e-10)
+    assert eq.pres[-1] == 0.0
+    np.testing.assert_allclose(eq.fpol[-1], eq.rcentr * eq.bcentr,
+                               rtol=1e-12)
+    assert eq.simag == float(np.max(eq.psirz))
