@@ -268,6 +268,19 @@ def solve_fixed_boundary_impl(
     def cond(c: _Carry) -> jnp.ndarray:
         return (c.k < max_iter) & (~c.converged) & jnp.isfinite(c.diff)
 
+    def guarded_body(c: _Carry) -> _Carry:
+        """Freeze finished elements: under ``vmap`` the while_loop runs
+        until ALL batch elements finish, and an unguarded body would keep
+        Picard-iterating already-converged elements past their stopping
+        point — batched results then drift ~O(tol/contraction) from the
+        standalone solve (measured 2.7e-3 span-rel at B=16).  Selecting
+        the old carry when ``cond`` is false makes every batched
+        element's trajectory identical to its standalone run; on a single
+        solve the guard is a no-op (the loop exits when cond is false)."""
+        new = body(c)
+        keep = cond(c)
+        return jax.tree.map(lambda a, b: jnp.where(keep, a, b), new, c)
+
     init = _Carry(
         k=jnp.int32(0),
         psi=psi,
@@ -283,7 +296,7 @@ def solve_fixed_boundary_impl(
         f_buf=jnp.zeros((m_hist,) + psi.shape, dtype),
         n_valid=jnp.int32(0),
     )
-    final = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, guarded_body, init)
 
     # Divergence guard: if the last update went non-finite, return best state.
     diverged = ~jnp.isfinite(final.diff)
