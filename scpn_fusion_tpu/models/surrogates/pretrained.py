@@ -226,7 +226,11 @@ def train_fno_turbulence(*, name: str = "fno_turbulence",
                     jax.random.fold_in(key, 1), n_steps=n_steps,
                     batch_size=16, lr=3e-3)
 
-    pred = np.asarray(fno_apply_batched(res.params, jnp.asarray(x_te)))
+    # Chunked eval: one big batch through the spectral convs exceeds what
+    # the axon TPU backend implements (UNIMPLEMENTED fault at B=64).
+    pred = np.concatenate([
+        np.asarray(fno_apply_batched(res.params, jnp.asarray(x_te[i:i + 8])))
+        for i in range(0, len(x_te), 8)])
     rel_l2 = float(np.linalg.norm(pred - y_te)
                    / max(np.linalg.norm(y_te), 1e-30))
 
