@@ -8,6 +8,13 @@ from scpn_fusion_tpu.control.pid import PIDGains, PIDState, pid_init, pid_step  
 from scpn_fusion_tpu.control.flight_sim import (  # noqa: F401
     FlightSimParams,
     run_shot_reduced,
+    run_shot_reduced_gains,
+)
+from scpn_fusion_tpu.control.tuning import (  # noqa: F401
+    CEMResult,
+    cem_minimize,
+    tune_hinf,
+    tune_pid,
 )
 from scpn_fusion_tpu.control.federated import (  # noqa: F401
     FederatedConfig,

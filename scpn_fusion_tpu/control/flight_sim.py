@@ -104,16 +104,29 @@ class _ReducedCarry(NamedTuple):
 def run_shot_reduced(params: FlightSimParams, *, dtype=jnp.float32):
     """Run the reduced-order closed-loop shot; returns the full telemetry
     trace plus aggregate metrics (disruption fraction, final errors)."""
+    gains = jnp.asarray(
+        [params.pid_r_kp, params.pid_r_ki, params.pid_r_kd,
+         params.pid_z_kp, params.pid_z_ki, params.pid_z_kd], dtype)
+    return run_shot_reduced_gains(params, gains, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("params", "dtype"))
+def run_shot_reduced_gains(params: FlightSimParams, gains: jnp.ndarray, *,
+                           dtype=jnp.float32):
+    """Reduced-lane shot with the six PID gains as a TRACED ``(6,)`` array
+    ``[r_kp, r_ki, r_kd, z_kp, z_ki, z_kd]`` (100 Hz-baseline values, scaled
+    by dt internally).  Traced gains make the whole closed loop vmappable
+    over gain candidates — the substrate for the controller auto-tuner
+    (reference ``control/controller_tuning.py`` runs Optuna trials one
+    Gymnasium episode at a time; here a generation of candidates is ONE
+    batched device program)."""
     dt = params.control_dt
     n = params.n_steps
+    gains = gains.astype(dtype)
     # Gain scaling from the 100 Hz baseline (flight_sim.rs:199-206).
     dt_ref = 0.01
-    g_r = PIDGains(jnp.asarray(params.pid_r_kp, dtype),
-                   jnp.asarray(params.pid_r_ki * dt / dt_ref, dtype),
-                   jnp.asarray(params.pid_r_kd * dt_ref / dt, dtype))
-    g_z = PIDGains(jnp.asarray(params.pid_z_kp, dtype),
-                   jnp.asarray(params.pid_z_ki * dt / dt_ref, dtype),
-                   jnp.asarray(params.pid_z_kd * dt_ref / dt, dtype))
+    g_r = PIDGains(gains[0], gains[1] * dt / dt_ref, gains[2] * dt_ref / dt)
+    g_z = PIDGains(gains[3], gains[4] * dt / dt_ref, gains[5] * dt_ref / dt)
 
     def step(c: _ReducedCarry, k):
         phase = jnp.clip(k.astype(dtype) * dt / params.shot_duration_s, 0.0, 1.0)
