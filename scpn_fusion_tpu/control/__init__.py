@@ -10,6 +10,12 @@ from scpn_fusion_tpu.control.flight_sim import (  # noqa: F401
     run_shot_reduced,
     run_shot_reduced_gains,
 )
+from scpn_fusion_tpu.control.twin_ingest import (  # noqa: F401
+    TelemetryStream,
+    generate_emulated_stream,
+    run_realtime_twin_session,
+    scenario_plan,
+)
 from scpn_fusion_tpu.control.tuning import (  # noqa: F401
     CEMResult,
     cem_minimize,
