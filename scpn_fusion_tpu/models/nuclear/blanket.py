@@ -235,3 +235,79 @@ def enrichment_scan(enrichments, *, thickness_cm: float = 80.0,
                                li6_enrichment=float(e), n_cells=n_cells)
         out.append(float(multigroup_tbr(cfg).tbr))
     return jnp.asarray(out)
+
+
+class VolumetricResult(NamedTuple):
+    tbr: jnp.ndarray
+    tbr_ideal: jnp.ndarray
+    blanket_volume_m3: jnp.ndarray
+    total_production_per_s: jnp.ndarray
+    incident_neutrons_per_s: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg", "radial_cells", "poloidal_cells",
+                                  "toroidal_cells"))
+def volumetric_tbr(
+    cfg: BlanketConfig,
+    *,
+    major_radius_m: float = 6.2,
+    minor_radius_m: float = 2.0,
+    elongation: float = 1.7,
+    radial_cells: int = 24,
+    poloidal_cells: int = 72,
+    toroidal_cells: int = 48,
+    incident_flux: float = 1e14,
+    port_coverage_factor: float = 0.80,
+    streaming_factor: float = 0.85,
+    blanket_fill_factor: float = 1.0,
+) -> VolumetricResult:
+    """Reduced 3D toroidal-shell TBR surrogate on top of the 1D depth
+    profile (reference ``calculate_volumetric_tbr``,
+    ``nuclear/blanket_neutronics.py:194-310``): depth attenuation anchored
+    to the nominal 80 cm / 90% enriched blanket, shaped poloidal section,
+    incidence weighting ``max(0.2, 0.6 + 0.4 cos^2 th)``, 5% toroidal
+    modulation, then the Fischer-style 3D corrections (port coverage,
+    inter-module streaming, packing fraction).
+
+    The reference evaluates the shell with a triple Python loop
+    (radial x poloidal x toroidal, :264-284); here the whole shell is one
+    broadcasted reduction.  The anchor depth profile is this module's
+    cylindrical 1-group solve (the reference's is a slab) — same
+    attenuation role, disclosed geometry difference.
+    """
+    anchor = BlanketConfig(thickness_cm=80.0, li6_enrichment=0.9,
+                           r_inner_cm=cfg.r_inner_cm, n_cells=cfg.n_cells)
+    phi_1d = single_group_tbr(anchor, incident_flux, rear_albedo=0.5).flux
+    x_norm = jnp.linspace(0.0, 1.0, anchor.n_cells)
+
+    thickness_m = jnp.maximum(cfg.thickness_cm * 0.01, 1e-6)
+    dr = thickness_m / radial_cells
+    dtheta = 2.0 * jnp.pi / poloidal_cells
+    dphi = 2.0 * jnp.pi / toroidal_cells
+    sig_cap = 0.15 * cfg.li6_enrichment
+
+    depth_m = (jnp.arange(radial_cells) + 0.5) * dr            # (nr,)
+    base_flux = jnp.interp(depth_m / thickness_m, x_norm, phi_1d)
+    shell_r = minor_radius_m + depth_m
+    theta = (jnp.arange(poloidal_cells) + 0.5) * dtheta        # (np,)
+    incidence = jnp.maximum(0.2, 0.6 + 0.4 * jnp.cos(theta) ** 2)
+    major_local = jnp.maximum(
+        0.1, major_radius_m + shell_r[:, None] * jnp.cos(theta)[None, :])
+    tor = 1.0 + 0.05 * jnp.cos((jnp.arange(toroidal_cells) + 0.5) * dphi)
+
+    # production_density = sig_cap * flux_i * inc_j * tor_k [1/cm^3/s];
+    # dvol = elongation * shell_r_i * dr * dtheta * dphi * major_ij [m^3].
+    geo_ij = elongation * shell_r[:, None] * dr * dtheta * dphi * major_local
+    production = sig_cap * jnp.sum(
+        (base_flux[:, None] * incidence[None, :] * geo_ij)) * jnp.sum(tor) \
+        * 1e6  # m^3 -> cm^3
+    volume = jnp.sum(geo_ij) * toroidal_cells
+
+    first_wall_area_m2 = (4.0 * jnp.pi**2 * major_radius_m
+                          * minor_radius_m * elongation)
+    incident_neutrons = incident_flux * first_wall_area_m2 * 1e4
+    tbr_ideal = production / jnp.maximum(incident_neutrons, 1e-9)
+    tbr = tbr_ideal * port_coverage_factor * streaming_factor \
+        * blanket_fill_factor
+    return VolumetricResult(tbr, tbr_ideal, volume, production,
+                            incident_neutrons)

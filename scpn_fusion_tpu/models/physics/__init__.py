@@ -42,3 +42,12 @@ from scpn_fusion_tpu.models.physics.sandpile import (  # noqa: F401
     avalanche_statistics,
     run_sandpile,
 )
+from scpn_fusion_tpu.models.physics.quasi3d import (  # noqa: F401
+    build_divertor_profiles,
+    calibrate_tbr_with_erosion,
+    hall_mhd_zonal_ratio,
+    jet_solps_reference_profile,
+    quasi_3d_force_balance,
+    solve_quasi_3d_force_residual,
+    two_fluid_temhd_coupled_profile,
+)
