@@ -10,6 +10,19 @@ from scpn_fusion_tpu.control.flight_sim import (  # noqa: F401
     run_shot_reduced,
     run_shot_reduced_gains,
 )
+from scpn_fusion_tpu.control.control_room import (  # noqa: F401
+    render_control_room_report,
+    run_control_room_session,
+)
+from scpn_fusion_tpu.control.neuro_cybernetic import (  # noqa: F401
+    LIFPoolParams,
+    run_neuro_cybernetic_shot,
+)
+from scpn_fusion_tpu.control.soc_learning import (  # noqa: F401
+    CoupledSandpileConfig,
+    SoftQConfig,
+    run_soc_learning,
+)
 from scpn_fusion_tpu.control.twin_ingest import (  # noqa: F401
     TelemetryStream,
     generate_emulated_stream,

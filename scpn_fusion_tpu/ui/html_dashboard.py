@@ -217,6 +217,10 @@ def generate_html_dashboard(
 
     page = f"""<!doctype html><html lang="en"><head>
 <meta charset="utf-8"><meta name="viewport" content="width=device-width">
+<meta http-equiv="Content-Security-Policy" content="default-src 'none'; \
+base-uri 'none'; object-src 'none'; img-src data:; \
+style-src 'unsafe-inline'">
+<meta name="referrer" content="no-referrer">
 <title>scpn_fusion_tpu evidence dashboard</title>
 <style>{_CSS}</style></head><body>
 <h1>scpn_fusion_tpu — evidence dashboard</h1>
