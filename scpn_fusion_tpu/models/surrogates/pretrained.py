@@ -222,15 +222,40 @@ def train_fno_turbulence(*, name: str = "fno_turbulence",
 
     key = jax.random.PRNGKey(seed)
     params = init_fno(key, width=width, modes=modes, n_layers=n_layers)
-    res = train_fno(params, jnp.asarray(x_tr), jnp.asarray(y_tr),
-                    jax.random.fold_in(key, 1), n_steps=n_steps,
-                    batch_size=16, lr=3e-3)
+    # One cosine-annealed Adam run (3e-3 -> 1e-5) split into <=1500-step
+    # scan segments that thread params + opt_state (the schedule count
+    # rides in the Adam state, so the anneal is continuous).  The target
+    # operator is spectrally linear (truncation floor < 2e-4 at modes>=12),
+    # so artifact quality is optimisation-limited: constant 3e-3 plateaus
+    # near rel-L2 0.13 and staged restarts that re-init Adam near 0.084,
+    # while the continuous anneal reaches the reference's 0.055 gate.
+    # Segmenting is a hardware workaround: the axon TPU worker faults
+    # fetching results after a single multi-thousand-step scan.
+    seg = 1500
+    x_tr_j, y_tr_j = jnp.asarray(x_tr), jnp.asarray(y_tr)
+    res = None
+    done = 0
+    while done < n_steps:
+        k_steps = min(seg, n_steps - done)
+        res = train_fno(params, x_tr_j, y_tr_j,
+                        jax.random.fold_in(key, 1 + done),
+                        n_steps=k_steps, batch_size=16, lr=3e-3,
+                        schedule="cosine", total_steps=n_steps,
+                        opt_state=None if res is None else res.opt_state)
+        params = res.params
+        done += k_steps
 
-    # Chunked eval: one big batch through the spectral convs exceeds what
-    # the axon TPU backend implements (UNIMPLEMENTED fault at B=64).
-    pred = np.concatenate([
-        np.asarray(fno_apply_batched(res.params, jnp.asarray(x_te[i:i + 8])))
-        for i in range(0, len(x_te), 8)])
+    # Eval on the CPU backend: the axon TPU backend faults (UNIMPLEMENTED)
+    # fetching large spectral-conv outputs — chunking dodged it at
+    # width=24 but not width=32.  Eval is cheap; CPU is always correct.
+    cpu = jax.devices("cpu")[0]
+    params_cpu = jax.tree.map(
+        lambda leaf: jax.device_put(np.asarray(leaf), cpu), res.params)
+    with jax.default_device(cpu):
+        pred = np.concatenate([
+            np.asarray(fno_apply_batched(params_cpu,
+                                         jax.device_put(x_te[i:i + 8], cpu)))
+            for i in range(0, len(x_te), 8)])
     rel_l2 = float(np.linalg.norm(pred - y_te)
                    / max(np.linalg.norm(y_te), 1e-30))
 
