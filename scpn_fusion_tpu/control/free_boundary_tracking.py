@@ -177,8 +177,23 @@ class TrackingConfig:
     correction_limit: float = 2.0
     response_regularization: float = 1e-3
     latency_steps: int = 0                 # measurement delay in ticks
+    # Latency compensation (reference ``latency_compensation_gain`` /
+    # ``latency_rate_max_abs`` semantics): a Smith-predictor correction —
+    # the identified response matrix maps the coil-current change applied
+    # since the delayed measurement was taken into objective space, which
+    # is far more stable than output extrapolation (no noise x latency
+    # amplification).  The per-component correction is clamped so a bad
+    # local model cannot inject unbounded compensation.
+    latency_compensation_gain: float = 1.0
+    latency_rate_max_abs: float = 0.5
     observer_gain: float = 0.3             # disturbance-observer update rate
     sensor_bias: tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    # Known calibration subtracted from the measurement (reference
+    # ``measurement_correction_bias``): the corrected acceptance lane sets
+    # this equal to the injected bias — the contract is that a calibrated
+    # fault returns tracking to nominal, not that an objective-space
+    # observer can identify an offset it has no independent reference for.
+    measurement_correction_bias: tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
     sensor_drift_per_tick: tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
     probe_noise_sigma: float = 0.0         # synthetic-magnetics noise
     # Prior-anchored reconstruction: the filament basis cannot represent the
@@ -203,6 +218,7 @@ class TrackingState(NamedTuple):
     currents: jnp.ndarray          # commanded coil currents
     bias_estimate: jnp.ndarray     # (N_OBJECTIVES,) disturbance observer
     obj_history: jnp.ndarray       # (latency+2, N_OBJ) delayed measurements
+    current_history: jnp.ndarray   # (latency+1, n_coils) command history
     predicted_obj: jnp.ndarray     # model prediction for the next estimate
     supervisor: SupervisorState
     tick: jnp.ndarray
@@ -299,11 +315,14 @@ def _run_tracking_shot(
     bias0 = jnp.zeros((N_OBJECTIVES,), dtype)
     hist_len = tcfg.latency_steps + 2
     hist0 = jnp.tile(obj0[None, :], (hist_len, 1))
+    chist0 = jnp.tile(coils.currents[None, :], (tcfg.latency_steps + 1, 1))
     state0 = TrackingState(
         currents=coils.currents, bias_estimate=bias0, obj_history=hist0,
-        predicted_obj=obj0, supervisor=supervisor_init(), tick=jnp.int32(0))
+        current_history=chist0, predicted_obj=obj0,
+        supervisor=supervisor_init(), tick=jnp.int32(0))
 
     sensor_bias = jnp.asarray(tcfg.sensor_bias, dtype)
+    correction_bias = jnp.asarray(tcfg.measurement_correction_bias, dtype)
     sensor_drift = jnp.asarray(tcfg.sensor_drift_per_tick, dtype)
 
     def step(state: TrackingState, key):
@@ -339,11 +358,17 @@ def _run_tracking_shot(
 
         # Sensor model: bias + drift, then fixed-step latency with an
         # extrapolating estimator compensating the delay.
-        obj_meas = obj_true + sensor_bias + sensor_drift * state.tick
+        obj_meas = (obj_true + sensor_bias + sensor_drift * state.tick
+                    - correction_bias)
         hist = jnp.concatenate([state.obj_history[1:], obj_meas[None, :]])
         delayed = hist[-(tcfg.latency_steps + 1)]
-        prev_delayed = hist[-(tcfg.latency_steps + 2)]
-        obj_est = delayed + tcfg.latency_steps * (delayed - prev_delayed)
+        # Smith-predictor compensation: the delayed measurement was taken
+        # with the currents commanded ``latency_steps`` ticks ago; map the
+        # commands applied since then through the identified response.
+        comp = jac @ (state.currents - state.current_history[0])
+        comp = jnp.clip(comp, -tcfg.latency_rate_max_abs,
+                        tcfg.latency_rate_max_abs)
+        obj_est = delayed + tcfg.latency_compensation_gain * comp
 
         # Disturbance observer in objective space: low-pass the innovation
         # between the sensing-path estimate and last tick's model
@@ -370,10 +395,13 @@ def _run_tracking_shot(
             sup_cfg, state.supervisor, delta, state.currents,
             fallback_currents, axis_err, x_err, bias_norm)
 
+        new_currents = state.currents + delta_f
         new_state = TrackingState(
-            currents=state.currents + delta_f,
+            currents=new_currents,
             bias_estimate=new_bias,
             obj_history=hist,
+            current_history=jnp.concatenate(
+                [state.current_history[1:], new_currents[None, :]]),
             predicted_obj=obj_est + jac @ delta_f,
             supervisor=sup_state,
             tick=state.tick + 1)
