@@ -51,3 +51,9 @@ from scpn_fusion_tpu.models.physics.quasi3d import (  # noqa: F401
     solve_quasi_3d_force_residual,
     two_fluid_temhd_coupled_profile,
 )
+from scpn_fusion_tpu.models.physics.drift_wave import (  # noqa: F401
+    DriftWaveConfig,
+    DriftWaveState,
+    default_probe_indices,
+    simulate_probes,
+)

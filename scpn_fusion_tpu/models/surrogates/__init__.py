@@ -14,3 +14,11 @@ from scpn_fusion_tpu.models.surrogates.equilibrium_surrogate import (  # noqa: F
     EquilibriumSurrogate,
     train_equilibrium_surrogate,
 )
+from scpn_fusion_tpu.models.surrogates.esn import (  # noqa: F401
+    ESNParams,
+    ESNReadout,
+    fit_esn,
+    init_esn,
+    predict_closed_loop,
+    trust_horizon,
+)
