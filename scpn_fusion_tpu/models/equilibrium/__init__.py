@@ -14,3 +14,9 @@ from scpn_fusion_tpu.models.equilibrium.differentiable import (  # noqa: F401
     fixed_point_ift,
     solve_predictive_diff,
 )
+from scpn_fusion_tpu.models.equilibrium.compact_basis import (  # noqa: F401
+    FixedBasis,
+    chebyshev_psi_basis,
+    continuation_history_reset,
+    profile_bspline_basis,
+)

@@ -59,3 +59,9 @@ from scpn_fusion_tpu.models.gyrokinetics.hybrid import (  # noqa: F401
     ood_check,
     schedule_spot_checks,
 )
+from scpn_fusion_tpu.models.gyrokinetics.ql_closure import (  # noqa: F401
+    QLLocalParams,
+    QLTransportModel,
+    compute_spectrum as ql_compute_spectrum,
+    quasilinear_fluxes as ql_quasilinear_fluxes,
+)
