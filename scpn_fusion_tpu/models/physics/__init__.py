@@ -57,3 +57,12 @@ from scpn_fusion_tpu.models.physics.drift_wave import (  # noqa: F401
     default_probe_indices,
     simulate_probes,
 )
+from scpn_fusion_tpu.models.physics.frc_stability import (  # noqa: F401
+    TiltModeReport,
+    TiltTrajectory,
+    s_parameter as frc_s_parameter,
+    tilt_mode_report,
+    tilt_mode_stable,
+    tilt_trajectory_from_compression,
+    validate_rigid_rotor,
+)
