@@ -66,3 +66,10 @@ from scpn_fusion_tpu.models.physics.frc_stability import (  # noqa: F401
     tilt_trajectory_from_compression,
     validate_rigid_rotor,
 )
+from scpn_fusion_tpu.models.physics.faraday_recovery import (  # noqa: F401
+    FaradayRecoveryReport,
+    faraday_back_emf,
+    faraday_recovery,
+    integrated_recovery_energy,
+    recovery_from_compression,
+)
