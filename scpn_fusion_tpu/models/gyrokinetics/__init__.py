@@ -65,3 +65,9 @@ from scpn_fusion_tpu.models.gyrokinetics.ql_closure import (  # noqa: F401
     compute_spectrum as ql_compute_spectrum,
     quasilinear_fluxes as ql_quasilinear_fluxes,
 )
+from scpn_fusion_tpu.models.gyrokinetics.maxwell_evolution import (  # noqa: F401
+    MaxwellEvolutionConfig,
+    MaxwellEvolutionResult,
+    run_local_maxwell_evolution,
+    to_evidence as maxwell_evidence,
+)
