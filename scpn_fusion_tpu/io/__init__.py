@@ -19,3 +19,11 @@ from scpn_fusion_tpu.io.imas import (  # noqa: F401
     ids_to_profiles,
     profiles_to_ids,
 )
+from scpn_fusion_tpu.io.imas_history import (  # noqa: F401
+    ids_pulse_to_twin_history,
+    ids_to_twin_history,
+    twin_history_to_ids,
+    twin_history_to_ids_pulse,
+    validate_ids_payload_sequence,
+    validate_ids_pulse_payload,
+)

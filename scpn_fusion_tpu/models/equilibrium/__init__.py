@@ -20,3 +20,10 @@ from scpn_fusion_tpu.models.equilibrium.compact_basis import (  # noqa: F401
     continuation_history_reset,
     profile_bspline_basis,
 )
+from scpn_fusion_tpu.models.equilibrium.rigid_body_stability import (  # noqa: F401
+    RigidBodyReport,
+    analyze_rigid_body,
+    ring_forces,
+    stability_landscape,
+    vacuum_field_at,
+)

@@ -22,3 +22,17 @@ from scpn_fusion_tpu.models.surrogates.esn import (  # noqa: F401
     predict_closed_loop,
     trust_horizon,
 )
+from scpn_fusion_tpu.models.surrogates.heat_shadow import (  # noqa: F401
+    fit_shadow_surrogate,
+    fit_synthetic as fit_heat_shadow_synthetic,
+    predict_divertor_flux,
+    predict_shadow_fraction,
+)
+from scpn_fusion_tpu.models.surrogates.qlknn import (  # noqa: F401
+    QLKNNModel,
+    analytic_targets as qlknn_analytic_targets,
+    electron_collisionality_star,
+    predict_fluxes as qlknn_predict_fluxes,
+    qlknn_features_from_profiles,
+    train_qlknn,
+)
