@@ -118,6 +118,36 @@ def run_alarm(risk: jnp.ndarray, cfg: AlarmConfig) -> AlarmTrace:
     return AlarmTrace(alarm, jnp.where(fired, first, -1).astype(jnp.int32))
 
 
+@jax.jit
+def alarm_threshold_sweep(risks: jnp.ndarray,
+                          thresholds: jnp.ndarray,
+                          confirm_ticks: int = 3):
+    """Vectorised alarm runtime over a (K,) threshold grid and (N, T)
+    batch of risk traces — one compiled program for a whole ROC sweep
+    (the reference's ``disruption_roc_analysis.py`` evaluates thresholds
+    in a Python loop over shots; here both axes are vmapped).
+
+    Returns ``fired (K, N) bool`` and ``first_tick (K, N) int32``
+    (-1 when the alarm never fires), with the same threshold +
+    consecutive-confirmation + latching semantics as :func:`run_alarm`.
+    """
+    def one(risk, th):
+        def step(carry, r):
+            streak, latched = carry
+            streak = jnp.where(r > th, streak + 1, 0)
+            latched = latched | (streak >= confirm_ticks)
+            return (streak, latched), latched
+
+        (_, _), alarm = jax.lax.scan(step, (jnp.int32(0), jnp.bool_(False)),
+                                     risk)
+        fired = jnp.any(alarm)
+        first = jnp.where(fired, jnp.argmax(alarm), -1).astype(jnp.int32)
+        return fired, first
+
+    return jax.vmap(lambda th: jax.vmap(lambda r: one(r, th))(risks))(
+        thresholds)
+
+
 def evaluate_predictor(
     predictor: DisruptionPredictor,
     shots: jnp.ndarray,

@@ -101,3 +101,30 @@ class TestDisruption:
         risk = 0.2 * jnp.ones(64)
         trace = run_alarm(risk, AlarmConfig())
         assert int(trace.first_alarm_tick) == -1
+
+
+class TestAlarmThresholdSweep:
+    def test_parity_with_run_alarm(self):
+        from scpn_fusion_tpu.control.disruption import alarm_threshold_sweep
+
+        rng = np.random.default_rng(3)
+        risks = jnp.asarray(rng.uniform(0.0, 1.0, (6, 40)).astype(np.float32))
+        thresholds = jnp.asarray([0.3, 0.6, 0.9], jnp.float32)
+        fired, first = alarm_threshold_sweep(risks, thresholds)
+        assert fired.shape == (3, 6) and first.shape == (3, 6)
+        for k, th in enumerate([0.3, 0.6, 0.9]):
+            for i in range(6):
+                tr = run_alarm(risks[i],
+                               AlarmConfig(threshold=th, confirm_ticks=3))
+                assert bool(fired[k, i]) == bool(tr.first_alarm_tick >= 0)
+                assert int(first[k, i]) == int(tr.first_alarm_tick)
+
+    def test_monotone_in_threshold(self):
+        from scpn_fusion_tpu.control.disruption import alarm_threshold_sweep
+
+        risk = jnp.linspace(0.0, 1.0, 50)[None, :]
+        thresholds = jnp.asarray([0.2, 0.5, 0.8], jnp.float32)
+        fired, first = alarm_threshold_sweep(risk, thresholds)
+        assert bool(jnp.all(fired))
+        # Stricter thresholds fire later on a monotone ramp.
+        assert int(first[0, 0]) < int(first[1, 0]) < int(first[2, 0])

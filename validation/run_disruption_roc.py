@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Disruption-predictor ROC analysis.
+
+Counterpart of the reference's ``validation/disruption_roc_analysis.py``
+(balanced synthetic batch over three precursor modes — ntm / density_limit
+/ vde — threshold sweep, trapezoid AUC).  The repo's recall/FPR lane
+(``run_control_ladder.py`` lane 2) evaluates ONE operating point; this
+campaign characterises the whole operating curve on a noisier, harder
+cohort.  Lanes (fail-closed):
+
+1. roc_auc — alarm-threshold sweep over a held-out 48-shot cohort with
+   three precursor modes at randomised amplitude/onset and 4x the noise
+   of the ladder cohort; trapezoid AUC >= 0.95 and the curve dominates
+   chance (TPR >= FPR at every threshold).
+2. operating_point_warning_time — at the loosest threshold achieving
+   FPR = 0 (max recall at zero false alarms), recall >= 0.9 and the
+   median alarm lead time before end-of-shot is positive.
+
+Writes checksummed JSON+MD evidence into validation/reports/.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+MODES = ("ntm", "density_limit", "vde")
+
+
+def _cohort(n_shots: int, t_len: int, seed: int):
+    """Balanced cohort; disruptive shots get one of three precursor modes
+    with randomised onset and amplitude (reference
+    ``disruption_roc_analysis.py:generate_scenario_batch``)."""
+    rng = np.random.default_rng(seed)
+    shots = rng.standard_normal((n_shots, t_len, 3)).astype(np.float32) * 0.4
+    labels = (np.arange(n_shots) % 2 == 0).astype(np.float32)
+    onsets = np.full(n_shots, -1, dtype=np.int64)
+    modes = []
+    for i in range(n_shots):
+        if labels[i] < 0.5:
+            modes.append("safe")
+            continue
+        mode = MODES[int(rng.integers(len(MODES)))]
+        modes.append(mode)
+        onset = int(rng.integers(t_len // 3, 2 * t_len // 3))
+        onsets[i] = onset
+        amp = float(rng.uniform(0.8, 2.0))
+        t = np.arange(t_len - onset, dtype=np.float32)
+        grow = 1.0 - np.exp(-t / 40.0)
+        if mode == "ntm":                       # rotating island: n=1 osc
+            shots[i, onset:, 0] += amp * grow * np.sin(0.8 * t)
+        elif mode == "density_limit":           # monotone density drift
+            shots[i, onset:, 1] += amp * grow
+        else:                                   # vde: radial spread ramp
+            shots[i, onset:, 2] += amp * grow * (1.0 + 0.3 * np.sin(0.2 * t))
+    return shots, labels, onsets, modes
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.control.disruption import (
+        alarm_threshold_sweep,
+        train_disruption_predictor,
+    )
+    from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
+
+    lanes = []
+
+    train_shots, train_labels, _, _ = _cohort(32, 240, seed=7)
+    test_shots, test_labels, test_onsets, test_modes = _cohort(48, 240,
+                                                               seed=991)
+    pred = train_disruption_predictor(
+        jnp.asarray(train_shots), jnp.asarray(train_labels),
+        jax.random.PRNGKey(0), n_steps=2500)
+
+    risks = jax.vmap(pred.risk)(jnp.asarray(test_shots))  # (N, n_win)
+    pos = test_labels > 0.5
+
+    thresholds = np.linspace(0.02, 0.98, 33)
+    fired_kn, first_kn = alarm_threshold_sweep(
+        risks, jnp.asarray(thresholds, risks.dtype))
+    fired_kn = np.asarray(fired_kn)
+    first_kn = np.asarray(first_kn)
+    tprs = [float(np.sum(f & pos) / max(np.sum(pos), 1)) for f in fired_kn]
+    fprs = [float(np.sum(f & ~pos) / max(np.sum(~pos), 1)) for f in fired_kn]
+
+    # Anchor the curve at (0,0) and (1,1) and integrate in FPR order.
+    f = np.array([0.0] + fprs[::-1] + [1.0])
+    t = np.array([0.0] + tprs[::-1] + [1.0])
+    order = np.argsort(f, kind="stable")
+    auc = float(np.trapezoid(t[order], f[order]))
+    dominates = bool(np.all(np.array(tprs) >= np.array(fprs) - 1e-12))
+    ok1 = auc >= 0.95 and dominates
+    lanes.append(LaneResult(
+        name="roc_auc",
+        status="pass" if ok1 else "fail",
+        metrics={"auc": auc,
+                 "thresholds": [float(x) for x in thresholds],
+                 "tpr": tprs, "fpr": fprs,
+                 "dominates_chance": dominates,
+                 "cohort": {"n_test": int(test_shots.shape[0]),
+                            "modes": sorted(set(test_modes) - {"safe"})}},
+        thresholds={"auc": 0.95},
+        notes=("held-out 48-shot cohort, 3 precursor modes at randomised "
+               "amplitude/onset, 4x ladder noise; trapezoid AUC as in "
+               "the reference's disruption_roc_analysis.py"),
+    ))
+
+    # ── Lane 2: loosest zero-false-positive operating point ──
+    # Loosest threshold with zero false positives == max recall at FPR=0.
+    op = None
+    for k in range(len(thresholds)):
+        fired, first = fired_kn[k], first_kn[k]
+        fpr = float(np.sum(fired & ~pos) / max(np.sum(~pos), 1))
+        rec = float(np.sum(fired & pos) / max(np.sum(pos), 1))
+        if fpr == 0.0 and rec > 0.0:
+            op = (float(thresholds[k]), rec, fired, first)
+            break
+    if op is None:
+        lanes.append(LaneResult(
+            name="operating_point_warning_time", status="fail",
+            notes="no threshold achieves FPR=0 with nonzero recall"))
+    else:
+        th, rec, fired, first = op
+        # Window index w corresponds to raw tick w + window - 1.
+        lead = []
+        for i in range(len(fired)):
+            if pos[i] and fired[i]:
+                alarm_tick = first[i] + pred.window - 1
+                # Lead time to end-of-shot (synthetic disruption at T).
+                lead.append(int(test_shots.shape[1] - alarm_tick))
+        med_lead = float(np.median(lead)) if lead else 0.0
+        ok2 = rec >= 0.9 and med_lead > 0.0
+        lanes.append(LaneResult(
+            name="operating_point_warning_time",
+            status="pass" if ok2 else "fail",
+            metrics={"threshold": th, "recall": rec, "fpr": 0.0,
+                     "median_warning_ticks": med_lead,
+                     "n_alarmed_disruptive": len(lead)},
+            thresholds={"recall": 0.9, "median_warning_ticks": 0.0},
+            notes="loosest threshold with zero false positives",
+        ))
+
+    return write_report("disruption_roc", lanes)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
