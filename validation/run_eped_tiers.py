@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""EPED pedestal benchmark vs digitised EPED1 DIII-D references.
+
+Counterpart of the reference's
+``validation/benchmark_eped_pedestal_tiers.py``: a *documentation*
+benchmark against the digitised EPED1 DIII-D Ip-scan
+(``validation/reference_data/eped/eped1_snyder_apsdpp_diiid_ip_scan.json``,
+read-only in this image; Snyder APS-DPP 2011).  Like the reference, this
+campaign asserts NO quantitative EPED parity — the slide publishes only
+Bt/kappa/delta/Ip, so R0, a, and n_ped are declared assumptions and the
+density is scanned.  What IS gated (fail-closed):
+
+1. eped_ip_scan_documentation — the repo's KBM-width + ballooning-height
+   fixed-point tier (``models/physics/edge.py:eped_pedestal``) runs on
+   all three digitised Ip cases x three densities with every output
+   finite/positive.  For DIII-D-class inputs the s-alpha tier collapses
+   to its temperature floor (the reference records the SAME outcome for
+   its PB-KBM tier: no shaped-geometry second-stability access); the
+   gate requires that collapse to be detected and recorded — or, if the
+   model resolves the scan, the EPED1 Ip trend and a documentation band
+   to hold.  No quantitative EPED parity is asserted either way.
+2. eped_internal_consistency — Snyder width scaling: pedestal width
+   grows with sqrt(beta_p) across the density scan and stays off the
+   clip rails for mid-scan cases; heights increase monotonically with
+   density at fixed Ip.
+
+Writes checksummed JSON+MD evidence into validation/reports/.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+REF_JSON = Path("/root/reference/validation/reference_data/eped/"
+                "eped1_snyder_apsdpp_diiid_ip_scan.json")
+ASSUMED_R0 = 1.67     # declared assumption (DIII-D nominal), as in the
+ASSUMED_A = 0.67      # reference benchmark's ASSUMED_GEOMETRY
+DENSITY_SCAN = (4.0, 6.0, 8.0)
+# Documentation sanity band only — the fast tier is EXPECTED to
+# under-predict DIII-D-class heights (the reference benchmark records the
+# same outcome for its fast tier); the band just catches a broken model.
+DOC_BAND = (0.1, 10.0)
+BLOCKERS = (
+    "shaped_geometry_miller_ballooning_required_for_second_stability_access",
+    "n_ped_and_geometry_not_published_on_reference_slide",
+)
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from scpn_fusion_tpu.models.physics.edge import eped_pedestal
+    from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
+
+    lanes = []
+
+    if not REF_JSON.is_file():
+        lanes.append(LaneResult(
+            name="eped_ip_scan_documentation", status="blocked",
+            notes=f"digitised EPED1 reference not found at {REF_JSON}"))
+        return write_report("eped_tiers", lanes)
+
+    ref = json.loads(REF_JSON.read_text())
+    scan = ref["diiid_ip_scan"]
+    b0 = float(scan["machine_inputs"]["B0_T"])
+    kappa = float(scan["machine_inputs"]["kappa"])
+    cases = scan["cases"]
+
+    rows = []
+    for case in cases:
+        ip = float(case["Ip_MA"])
+        per_density = []
+        for n19 in DENSITY_SCAN:
+            res = eped_pedestal(n_ped_1e19=n19, r0=ASSUMED_R0, a=ASSUMED_A,
+                                b0=b0, ip_ma=ip, kappa=kappa)
+            per_density.append({
+                "n_ped_1e19": n19,
+                "p_ped_kpa": float(res.p_ped_kpa),
+                "t_ped_kev": float(res.t_ped_kev),
+                "delta_ped": float(res.delta_ped),
+                "beta_p_ped": float(res.beta_p_ped),
+                "at_t_ped_floor": bool(float(res.t_ped_kev) <= 0.1 + 1e-9),
+            })
+        ratios = [d["p_ped_kpa"] / case["eped1_p_ped_kPa"]
+                  for d in per_density]
+        best = min(range(len(ratios)), key=lambda i: abs(np.log(ratios[i])))
+        rows.append({
+            "ip_ma": ip,
+            "eped1_p_ped_kpa": case["eped1_p_ped_kPa"],
+            "measured_p_ped_kpa": case["measured_p_ped_kPa"],
+            "eped1_delta_psin": case["eped1_Delta_psiN"],
+            "density_scan": per_density,
+            "best_density_1e19": DENSITY_SCAN[best],
+            "best_height_ratio_vs_eped1": float(ratios[best]),
+            "underpredicts_eped1": bool(ratios[best] < 1.0),
+        })
+
+    finite_ok = all(np.isfinite(d["p_ped_kpa"]) and d["p_ped_kpa"] > 0
+                    and np.isfinite(d["delta_ped"])
+                    for r in rows for d in r["density_scan"])
+    # Honest outcome bookkeeping (mirrors the reference benchmark's two
+    # recorded outcomes): for DIII-D-class inputs the s-alpha tier
+    # collapses to its temperature floor (no shaped-geometry
+    # second-stability access).  Pass = either that collapse is detected
+    # AND recorded, or the model genuinely resolves the scan, in which
+    # case the EPED1 trend (strong 0.5->1.0 MA rise) and the
+    # documentation band must hold.
+    floored = all(d["at_t_ped_floor"] for r in rows for d in r["density_scan"])
+    trend_ok = all(
+        rows[1]["density_scan"][i]["p_ped_kpa"]
+        > 1.5 * rows[0]["density_scan"][i]["p_ped_kpa"]
+        for i in range(len(DENSITY_SCAN)))
+    band_ok = all(DOC_BAND[0] <= r["best_height_ratio_vs_eped1"] <= DOC_BAND[1]
+                  for r in rows)
+    ok1 = finite_ok and (floored or (trend_ok and band_ok))
+    lanes.append(LaneResult(
+        name="eped_ip_scan_documentation",
+        status="pass" if ok1 else "fail",
+        metrics={"b0_t": b0, "kappa": kappa,
+                 "assumed_geometry": {"r0_m": ASSUMED_R0, "a_m": ASSUMED_A},
+                 "rows": rows,
+                 "digitisation_uncertainty":
+                     ref.get("digitisation_uncertainty", {}),
+                 "trend_rise_05_to_10_ma": trend_ok,
+                 "scan_floor_collapse": floored,
+                 "parity_blockers": list(BLOCKERS)},
+        thresholds={"best_height_ratio_band": list(DOC_BAND)},
+        notes=("documentation benchmark, NO quantitative EPED parity "
+               "asserted (the slide omits R0/a/n_ped; assumptions "
+               "declared above) — same claim boundary as the reference's "
+               "benchmark_eped_pedestal_tiers.py; divergences recorded "
+               "in rows[]"),
+    ))
+
+    # ── Lane 2: internal Snyder-width consistency ──
+    ip = 1.0
+    widths, betas, heights = [], [], []
+    for n19 in DENSITY_SCAN:
+        res = eped_pedestal(n_ped_1e19=n19, r0=ASSUMED_R0, a=ASSUMED_A,
+                            b0=b0, ip_ma=ip, kappa=kappa)
+        widths.append(float(res.delta_ped))
+        betas.append(float(res.beta_p_ped))
+        heights.append(float(res.p_ped_kpa))
+    width_monotone = all(w2 > w1 for w1, w2 in zip(widths, widths[1:]))
+    beta_monotone = all(b2 > b1 for b1, b2 in zip(betas, betas[1:]))
+    height_monotone = all(h2 > h1 for h1, h2 in zip(heights, heights[1:]))
+    off_rails = all(0.01 < w < 0.15 for w in widths)
+    ok2 = width_monotone and beta_monotone and height_monotone and off_rails
+    lanes.append(LaneResult(
+        name="eped_internal_consistency",
+        status="pass" if ok2 else "fail",
+        metrics={"density_scan_1e19": list(DENSITY_SCAN),
+                 "delta_ped": widths, "beta_p_ped": betas,
+                 "p_ped_kpa": heights,
+                 "width_monotone_in_beta_p": width_monotone,
+                 "off_clip_rails": off_rails},
+        thresholds={"clip_rails": [0.01, 0.15]},
+        notes="Snyder Delta ~ 0.076 sqrt(beta_p): width and height must "
+              "co-increase with density at fixed Ip, away from clip rails",
+    ))
+
+    return write_report("eped_tiers", lanes)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
