@@ -97,3 +97,11 @@ from scpn_fusion_tpu.control.optimal_scenario import (  # noqa: F401
     optimize_shot,
     shot_objective,
 )
+from scpn_fusion_tpu.control.fault_tolerant import (  # noqa: F401
+    FaultState,
+    controllability_ok,
+    ft_step,
+    init_fault_state,
+    reconfig_gain,
+    run_fault_tolerant_shot,
+)
