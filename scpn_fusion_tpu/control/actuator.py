@@ -65,7 +65,10 @@ def actuator_step(params: ActuatorParams, state: ActuatorState, command):
                   params.rate_limit * params.dt_s)
     u_new = jnp.where(ok, state.u + du, state.u)
 
-    buf = state.delay_buf.at[state.cursor].set(u_new)
+    # Scatter requires value dtype == buffer dtype (an x64 command into an
+    # f32 delay buffer would FutureWarn, and later error, in JAX).
+    buf = state.delay_buf.at[state.cursor].set(
+        u_new.astype(state.delay_buf.dtype))
     n = buf.shape[0]
     read_idx = (state.cursor + 1) % n  # oldest entry = delayed output
     out = jnp.where(params.delay_steps > 0, buf[read_idx], u_new)
