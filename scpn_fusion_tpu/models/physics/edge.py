@@ -118,8 +118,17 @@ def eped_pedestal(
     z_eff=1.5,
     t_ped_guess_kev=3.0,
     n_iter: int = 20,
+    alpha_crit=None,
 ) -> PedestalResult:
-    """EPED-like pedestal prediction (Snyder width + KBM-limited height)."""
+    """EPED-like pedestal prediction (Snyder width + KBM-limited height).
+
+    ``alpha_crit``: optional override of the analytic s-alpha critical
+    pressure gradient — pass the shaped-geometry (Miller) boundary from
+    ``models/physics/ballooning.py:miller_marginal_alpha`` to lift the
+    s-alpha floor collapse at DIII-D-class inputs (the reference records
+    exactly this as its own PB-KBM-tier blocker,
+    ``benchmark_eped_pedestal_tiers.py:55-58``, and ships no shaped tier).
+    """
     epsilon = a / r0
     b_pol = MU0 * ip_ma * 1e6 / (2.0 * jnp.pi * a
                                  * jnp.sqrt((1.0 + kappa**2) / 2.0))
@@ -128,8 +137,11 @@ def eped_pedestal(
     q_ped = jnp.maximum(
         (b0 / r0) * (a**2 / (0.2 * ip_ma)) * ((1.0 + kappa**2) / 2.0), 2.0)
     s_ped = 2.0 * (1.0 + 0.5 * (kappa - 1.7))
-    alpha_crit = jnp.where(s_ped < 1.0, s_ped * (1.0 - s_ped / 2.0),
-                           0.6 * s_ped) * (1.0 + 0.3 * (kappa - 1.0))
+    if alpha_crit is None:
+        alpha_crit = jnp.where(s_ped < 1.0, s_ped * (1.0 - s_ped / 2.0),
+                               0.6 * s_ped) * (1.0 + 0.3 * (kappa - 1.0))
+    else:
+        alpha_crit = jnp.asarray(alpha_crit)
 
     def body(_, t_ped):
         t_j = t_ped * 1e3 * E_CHARGE

@@ -103,3 +103,46 @@ def test_eigen_lane_in_stability_suite():
     from scpn_fusion_tpu.models.physics.stability_mhd import ballooning_stability
     closed = ballooning_stability(qp)
     assert not np.asarray(closed.stable).any()
+
+
+class TestMillerBallooning:
+    def test_thin_tube_recovers_s_alpha_exactly(self):
+        from scpn_fusion_tpu.models.physics.ballooning import (
+            ballooning_stable, miller_ballooning_stable)
+        s = jnp.asarray([0.5, 1.0, 2.0])[:, None]
+        alphas = jnp.linspace(0.0, 3.0, 25)[None, :]
+        circ = ballooning_stable(s, alphas)
+        thin = miller_ballooning_stable(s, alphas, rho=1e-4, kappa=1.0,
+                                        delta=0.0)
+        assert bool(jnp.all(circ == thin))
+
+    def test_elongation_stabilises_first_boundary(self):
+        from scpn_fusion_tpu.models.physics.ballooning import (
+            miller_marginal_alpha)
+        acs = [float(miller_marginal_alpha(1.0, r0=3.0, a=1.0, rho=0.9,
+                                           kappa=k, delta=0.0, q=3.0))
+               for k in (1.0, 1.4, 1.8)]
+        assert acs[0] < acs[1] < acs[2]
+
+    def test_positive_triangularity_opens_second_stability(self):
+        """delta=+0.4 at low shear closes the unstable band entirely;
+        delta=-0.4 widens it (the NT reduced-access mechanism)."""
+        from scpn_fusion_tpu.models.physics.ballooning import (
+            miller_ballooning_stable)
+        alphas = jnp.linspace(0.0, 8.0, 81)
+
+        def band(delta, s):
+            st = np.asarray(miller_ballooning_stable(
+                jnp.asarray(s), alphas, rho=0.9, kappa=1.8, delta=delta,
+                q=3.0))
+            un = ~st
+            if not un.any():
+                return None
+            i_last = len(un) - 1 - int(np.argmax(un[::-1]))
+            return float(alphas[np.argmax(un)]), float(alphas[i_last])
+
+        assert band(0.4, 0.5) is None          # PT: full access
+        b_nt = band(-0.4, 1.0)
+        b_circ = band(0.0, 1.0)
+        assert b_nt is not None and b_circ is not None
+        assert b_nt[1] > b_circ[1]             # NT: band extends higher
