@@ -148,7 +148,9 @@ def main() -> int:
             notes="loosest threshold with zero false positives",
         ))
 
-    return write_report("disruption_roc", lanes)
+    write_report("disruption_roc", lanes)
+    return 0 if all(ln.status == "pass" for ln in lanes
+                    if ln.status != "blocked") else 1
 
 
 if __name__ == "__main__":

@@ -67,7 +67,8 @@ def main() -> int:
         lanes.append(LaneResult(
             name="itpa_2sigma_envelope", status="blocked",
             notes=f"reference ITPA table not found at {ITPA_CSV}"))
-        return write_report("transport_uq_envelope", lanes)
+        write_report("transport_uq_envelope", lanes)
+        return 0
 
     rows = list(csv.DictReader(ITPA_CSV.open()))
     ip = np.array([float(r["Ip_MA"]) for r in rows])
@@ -165,7 +166,9 @@ def main() -> int:
               "compatible with the analytic propagation",
     ))
 
-    return write_report("transport_uq_envelope", lanes)
+    write_report("transport_uq_envelope", lanes)
+    return 0 if all(ln.status == "pass" for ln in lanes
+                    if ln.status != "blocked") else 1
 
 
 if __name__ == "__main__":
