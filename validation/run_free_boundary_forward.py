@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Compiled free-boundary predictive forward: warm/cold device timing.
+
+Counterpart of the reference's headline free-boundary artifact
+(``artifacts/rung2_mg_preconditioner/warm_start_forward_h100.json`` +
+``jax_predictive_forward_compiled.py``): compiled warm 129^2 forward
+13.0 ms on a dedicated H100, cold start 164.8 ms, warm without the MG
+preconditioner 26.3 ms (BASELINE.md "Equilibrium solvers").  Here the
+WHOLE free-boundary solve (coil-flux boundary <-> inner GS solve outer
+loop) is one ``lax.while_loop`` (``free_boundary.py:_run_free_boundary``),
+so the forward is a single compiled program.  Lanes (fail-closed):
+
+1. warm_forward_129_device — per-solve ON-DEVICE time by solve-count
+   slope (T(5 chained solves) - T(1))/4 with per-element coil-current
+   perturbations so XLA cannot collapse the chain; every element must
+   converge.  Gate: device per-solve <= 26.3 ms (the reference's warm
+   H100 figure WITHOUT its MG preconditioner; its full headline 13.0 ms
+   is recorded alongside for comparison).
+2. cold_vs_warm_compile — cold wall (trace + compile + run) vs warm
+   cached wall for the same program; gate: warm at least 3x faster
+   (reference row: 164.8 -> 13.0 ms, 12.7x on dedicated hardware; the
+   shared-tunnel wall here carries a per-call RTT constant, so the
+   ratio gate is deliberately conservative).
+
+Writes checksummed JSON+MD evidence into validation/reports/.
+"""
+
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+REF_WARM_MS = 13.0      # H100, with MG preconditioner
+REF_WARM_NOMG_MS = 26.3
+REF_COLD_MS = 164.8
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.core.config import (
+        Coil,
+        Dimensions,
+        PhysicsParams,
+        ReactorConfig,
+        SolverParams,
+    )
+    from scpn_fusion_tpu.core.grid import Grid
+    from scpn_fusion_tpu.models.equilibrium.free_boundary import (
+        coilset_from_config,
+        solve_free_boundary,
+    )
+    from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
+
+    backend = jax.default_backend()
+    n = 129
+    coils = (
+        Coil(r=3.5, z=4.8, current=-1.0), Coil(r=8.0, z=4.8, current=4.0),
+        Coil(r=10.8, z=0.0, current=6.0), Coil(r=8.0, z=-4.8, current=4.0),
+        Coil(r=3.5, z=-4.8, current=-1.0), Coil(r=10.8, z=2.5, current=3.0),
+    )
+    cfg = ReactorConfig(
+        reactor_name="fb-forward-129",
+        grid_resolution=(n, n),
+        dimensions=Dimensions(R_min=2.0, R_max=10.0, Z_min=-4.0, Z_max=4.0),
+        coils=coils,
+        physics=PhysicsParams(plasma_current_target=15.0,
+                              vacuum_permeability=1.0),
+        solver=SolverParams(max_iterations=400,
+                            convergence_threshold=1e-4,
+                            relaxation_factor=1.0,
+                            solver_method="anderson_mg",
+                            anderson_depth=4),
+    )
+    grid = Grid.from_config(cfg, dtype=np.float32)
+    coils0 = coilset_from_config(cfg, jnp.float32)
+
+    def forward(currents):
+        res = solve_free_boundary(
+            cfg, coils0._replace(currents=currents), grid=grid,
+            max_outer_iter=12, tol=1e-4, mu0_green=1.0,
+            dtype=jnp.float32)
+        return (jnp.sum(res.psi), res.outer_iterations, res.converged)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(base_currents, k):
+        def one(carry, scale):
+            out = forward(base_currents * scale)
+            return carry, out
+
+        scales = 1.0 + 0.003 * jnp.arange(k, dtype=jnp.float32)
+        _, outs = jax.lax.scan(one, 0, scales)
+        return outs
+
+    lanes = []
+
+    # Cold wall: first call on the 1-chain (trace + compile + run).
+    t0 = time.monotonic()
+    sums, iters, conv = chain(coils0.currents, 1)
+    np.asarray(sums)
+    cold_ms = (time.monotonic() - t0) * 1e3
+
+    def wall(k, reps=3):
+        np.asarray(chain(coils0.currents, k)[0])     # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            np.asarray(chain(coils0.currents, k)[0])
+            ts.append(time.monotonic() - t0)
+        return min(ts) * 1e3
+
+    w1 = wall(1)
+    w5 = wall(5)
+    device_ms = max((w5 - w1) / 4.0, 0.0)
+
+    _, iters5, conv5 = chain(coils0.currents, 5)
+    all_conv = bool(np.all(np.asarray(conv5)))
+    ok1 = all_conv and 0.0 < device_ms <= REF_WARM_NOMG_MS
+    lanes.append(LaneResult(
+        name="warm_forward_129_device",
+        status="pass" if ok1 else "fail",
+        metrics={"device_per_solve_ms": round(device_ms, 3),
+                 "wall_1_solve_ms": round(w1, 1),
+                 "wall_5_solve_ms": round(w5, 1),
+                 "outer_iterations": [int(x) for x in np.asarray(iters5)],
+                 "all_converged": all_conv,
+                 "backend": backend,
+                 "reference_h100_warm_ms": REF_WARM_MS,
+                 "reference_h100_warm_no_mg_ms": REF_WARM_NOMG_MS},
+        thresholds={"device_per_solve_ms": REF_WARM_NOMG_MS},
+        notes=("whole free-boundary solve = ONE while_loop program; "
+               "slope timing cancels the shared-tunnel RTT constant "
+               "(same protocol as bench.py / VERDICT r2 weak #2).  "
+               "DTYPE DISCLOSURE: f32 here (x64 unavailable on the TPU "
+               "path) vs the reference's FP64 H100 figure; accuracy at "
+               "f32 is separately gated in precision_budget.json"),
+    ))
+
+    warm_ratio = cold_ms / max(w1, 1e-9)
+    ok2 = warm_ratio >= 3.0
+    lanes.append(LaneResult(
+        name="cold_vs_warm_compile",
+        status="pass" if ok2 else "fail",
+        metrics={"cold_wall_ms": round(cold_ms, 1),
+                 "warm_wall_ms": round(w1, 1),
+                 "speedup": round(warm_ratio, 2),
+                 "reference_cold_ms": REF_COLD_MS,
+                 "reference_warm_ms": REF_WARM_MS},
+        thresholds={"speedup": 3.0},
+        notes="reference row: 164.8 -> 13.0 ms (12.7x) on dedicated "
+              "hardware; warm wall here still carries tunnel RTT",
+    ))
+
+    write_report("free_boundary_forward", lanes)
+    return 0 if all(ln.status == "pass" for ln in lanes
+                    if ln.status != "blocked") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
