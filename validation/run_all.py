@@ -29,6 +29,7 @@ REPORTS = HERE / "reports"
 SLOW = {
     "run_pallas_tpu.py", "run_sharded_gs_tpu.py", "run_stress_campaign.py",
     "run_batched_amortisation.py", "run_real_shot_accuracy.py",
+    "run_free_boundary_forward.py",
 }
 PER_CAMPAIGN_TIMEOUT_S = 1800
 
