@@ -157,6 +157,7 @@ def solve_equilibrium_np(
     tol: float = 1e-4,
     alpha: float = 0.1,
     anderson_m: int = 0,
+    psi0: np.ndarray | None = None,
 ) -> dict:
     """NumPy twin of the full Picard + multigrid equilibrium solve (L-mode).
 
@@ -174,15 +175,24 @@ def solve_equilibrium_np(
     d_r = float(r_1d[1] - r_1d[0])
     d_z = float(z_1d[1] - z_1d[0])
     rr, zz = np.meshgrid(r_1d, z_1d)
-    psi = psi_bc.copy()
+    if psi0 is not None:
+        # Warm start (FMG cascade / previous-shot reuse): take the
+        # supplied interior, re-impose the Dirichlet boundary, skip the
+        # Gaussian seed phase — same semantics as the JAX solver's
+        # preserve_initial_state path.
+        psi = psi0.astype(np.float64).copy()
+        psi[0, :], psi[-1, :] = psi_bc[0, :], psi_bc[-1, :]
+        psi[:, 0], psi[:, -1] = psi_bc[:, 0], psi_bc[:, -1]
+    else:
+        psi = psi_bc.copy()
 
-    # Seed plasma: normalised Gaussian + 50 Jacobi sweeps
-    r_center = 0.5 * (r_1d[0] + r_1d[-1])
-    j_seed = np.exp(-((rr - r_center) ** 2 + zz**2) / 2.0)
-    j_seed *= i_target / max(j_seed.sum() * d_r * d_z, 1e-30)
-    seed_src = -mu0 * rr * j_seed
-    for _ in range(50):
-        psi = jacobi_step_np(psi, seed_src, r_1d, d_r, d_z)
+        # Seed plasma: normalised Gaussian + 50 Jacobi sweeps
+        r_center = 0.5 * (r_1d[0] + r_1d[-1])
+        j_seed = np.exp(-((rr - r_center) ** 2 + zz**2) / 2.0)
+        j_seed *= i_target / max(j_seed.sum() * d_r * d_z, 1e-30)
+        seed_src = -mu0 * rr * j_seed
+        for _ in range(50):
+            psi = jacobi_step_np(psi, seed_src, r_1d, d_r, d_z)
 
     z_min = float(z_1d[0])
     divertor = zz < (z_min * 0.5)

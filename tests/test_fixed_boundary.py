@@ -167,3 +167,42 @@ def test_anderson_mg_reaches_multigrid_fixed_point():
     span = float(jnp.max(ref.psi) - jnp.min(ref.psi))
     dev = float(jnp.max(jnp.abs(fast.psi - ref.psi))) / span
     assert dev < 1e-3
+
+
+class TestFMGCascade:
+    def test_fmg_matches_direct_fixed_point(self):
+        from scpn_fusion_tpu.models.equilibrium.fixed_boundary import (
+            solve_equilibrium_fmg,
+        )
+
+        cfg = make_cfg("anderson_mg", n=129, max_iter=600,
+                       anderson_depth=4)
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver,
+                                            relaxation_factor=1.0))
+        res, info = solve_equilibrium_fmg(cfg, min_coarse=65,
+                                          dtype=jnp.float64)
+        assert [lv["n"] for lv in info] == [65, 129]
+        assert all(lv["converged"] for lv in info)
+
+        direct = solve_equilibrium(cfg, dtype=jnp.float64)
+        span = float(jnp.max(direct.psi) - jnp.min(direct.psi))
+        dev = float(jnp.max(jnp.abs(res.psi - direct.psi))) / span
+        assert dev < 1e-3, dev
+        # Warm start must not be slower than the cold fine solve.
+        assert info[-1]["iterations"] <= int(direct.iterations)
+
+    def test_fmg_rejects_nonsquare(self):
+        import dataclasses
+
+        import pytest as _pytest
+
+        from scpn_fusion_tpu.models.equilibrium.fixed_boundary import (
+            solve_equilibrium_fmg,
+        )
+
+        cfg = dataclasses.replace(make_cfg("multigrid"),
+                                  grid_resolution=(65, 129))
+        with _pytest.raises(ValueError, match="square"):
+            solve_equilibrium_fmg(cfg)
