@@ -13,9 +13,9 @@ fetch) to EVERY call regardless of work — round-2's single-call timing was
 dominated by it (VERDICT r2 weak #2 prescribes exactly this subtraction),
 and the end-to-end wall including the tunnel is reported on stderr for
 transparency.  ``vs_baseline`` is the algorithm-MATCHED hardware speedup
-(the NumPy twin runs the same Anderson-MG scheme, same iteration count);
-the algorithm-advantaged figure vs the plain multigrid-Picard twin is on
-stderr.
+(the NumPy twin runs the same FMG Anderson-MG cascade); the
+algorithm-advantaged figure vs the plain direct multigrid-Picard twin is
+on stderr.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <device_ms>, "unit": "ms", "vs_baseline": ...}
