@@ -56,13 +56,14 @@ def main() -> None:
         physics=PhysicsParams(plasma_current_target=15.0, vacuum_permeability=1.0),
         solver=SolverParams(
             # Anderson-accelerated multigrid-Picard: same fixed point as
-            # plain multigrid-Picard (span-rel dev ~1.6e-4, the 1e-4
-            # convergence-tolerance scale) in ~13 outer iterations
-            # instead of 176.  relaxation 1.0 (no damping): the V-cycle
-            # inner solve is strong enough that Anderson alone
-            # stabilises, halving the round-2 outer count (24 -> 13;
-            # swept on-host, verified convergent at 129/257/513^2 in
-            # both profile modes).
+            # plain multigrid-Picard (span-rel dev ~1.3e-4, the 1e-4
+            # convergence-tolerance scale) in ~8 outer iterations instead
+            # of 156 (direct solve; the FMG cascade below needs only ~6
+            # fine-level iterations).  relaxation 1.0: the undamped
+            # Picard map already contracts (measured gain 0.48,
+            # ida_stability.json) and the corrected type-II AA mixer
+            # cuts it further (13 -> 8 direct after the 2026-08-18
+            # residual/weights fix).
             max_iterations=600, convergence_threshold=1e-4,
             relaxation_factor=1.0, solver_method="anderson_mg",
             anderson_depth=4,
@@ -84,8 +85,8 @@ def main() -> None:
     # (``fixed_boundary.py:solve_equilibrium_fmg``): converge 129^2 at a
     # loose 1e-3, prolong, converge 257^2 at 1e-3 warm, prolong, converge
     # 513^2 at the full 1e-4 — same residual-gated fixed point (span-rel
-    # dev ~2e-4 vs the direct solve, the tolerance scale), ~30% less
-    # device time than the direct 513^2 solve (8.8 -> 6.1 ms measured).
+    # dev ~1e-4 vs the plain twin, the tolerance scale); FMG + the
+    # corrected Anderson mixer took the headline 8.8 -> 5.2 ms measured.
     import dataclasses
 
     from scpn_fusion_tpu.models.equilibrium.fixed_boundary import (

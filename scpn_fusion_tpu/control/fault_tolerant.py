@@ -146,42 +146,61 @@ def run_fault_tolerant_shot(
     fault_times: jnp.ndarray,     # (n_f,) step indices (< 0 disables)
     fault_kinds: jnp.ndarray,     # (n_f,) codes above
     fault_indices: jnp.ndarray,   # (n_f,) coil or sensor index
+    fault_values: jnp.ndarray | None = None,  # (n_f,) stuck commands
     *,
     n_steps: int = 200,
     gain: float = 0.5,
     lambda_reg: float = 1e-6,
 ) -> FTShotTrace:
     """Whole faulted closed-loop shot as ONE ``lax.scan``: a linear plant
-    y += J du driven to ``target`` while the fault schedule fires and the
-    allocation reconfigures in-loop.  The reference runs this as a host
-    loop with Python-side fault handling; here fault events are data."""
+    y = J u_phys driven to ``target`` while the fault schedule fires and
+    the allocation reconfigures in-loop — lost coils go open-circuit,
+    stuck coils hold their ``fault_values`` command physically.  The
+    reference runs this as a host loop with Python-side fault handling;
+    here fault events are data."""
     n_s, n_c = jacobian.shape
     dtype = jacobian.dtype
     fstate0 = init_fault_state(n_c, n_s, dtype)
+    if fault_values is None:
+        fault_values = jnp.zeros_like(fault_times, dtype=dtype)
+    fault_values = jnp.asarray(fault_values, dtype)
+
+    def u_phys(u, fstate):
+        """Physical coil vector: healthy coils follow the command, a
+        lost coil is open-circuit (0), a stuck coil holds its frozen
+        command regardless of what the controller asks."""
+        return u * fstate.coil_ok + fstate.stuck_value * (
+            1.0 - fstate.coil_ok)
 
     def step(carry, t):
-        y, fstate = carry
+        u, fstate = carry
         # Fire any scheduled fault whose time matches this step.
         def fire(fs, f):
-            f_t, f_kind, f_idx = f
+            f_t, f_kind, f_idx, f_val = f
             hit = (t == f_t) & (f_t >= 0)
             idx = jnp.where(hit, f_idx, -1)
             is_act = (f_kind == ACTUATOR_LOSS) | (f_kind == ACTUATOR_STUCK)
             fs = apply_actuator_fault(
-                fs, jnp.where(is_act, idx, -1), f_kind)
+                fs, jnp.where(is_act, idx, -1), f_kind, stuck_val=f_val)
             fs = apply_sensor_fault(
                 fs, jnp.where(is_act, -1, idx), f_kind)
             return fs, None
 
         fstate, _ = jax.lax.scan(
-            fire, fstate, (fault_times, fault_kinds, fault_indices))
-        err = target - y
-        du = gain * ft_step(jacobian, fstate, err, lambda_reg)
-        y2 = y + jacobian @ du
+            fire, fstate,
+            (fault_times, fault_kinds, fault_indices, fault_values))
+        # Measured error already carries the stuck coil's physical
+        # contribution through u_phys, so plain reconfigured feedback is
+        # the consistent in-loop law (ft_step's offset compensation is
+        # the one-shot allocation form, reference step:186-197).
+        err = target - jacobian @ u_phys(u, fstate)
+        du = gain * (reconfig_gain(jacobian, fstate, lambda_reg) @ err)
+        u2 = u + du * fstate.coil_ok
+        err2 = target - jacobian @ u_phys(u2, fstate)
         ok = controllability_ok(jacobian, fstate)
-        return (y2, fstate), (jnp.linalg.norm(target - y2), ok, du)
+        return (u2, fstate), (jnp.linalg.norm(err2), ok, du)
 
     (_, _), (errs, oks, dus) = jax.lax.scan(
-        step, (jnp.zeros((n_s,), dtype), fstate0),
+        step, (jnp.zeros((n_c,), dtype), fstate0),
         jnp.arange(n_steps))
     return FTShotTrace(errs, oks, dus)

@@ -125,9 +125,15 @@ def _anderson_mix(
     g_max = jnp.asarray(10.0, f_buf.dtype)
     gamma = gamma * jnp.minimum(1.0, g_max / jnp.maximum(g_norm, 1e-30))
 
+    # Telescoped iterate weights for type-II AA: the mixed iterate is
+    # y_last - sum_j gamma_j (y_{j+1} - y_j), i.e. alpha_0 = gamma_0,
+    # alpha_j = gamma_j - gamma_{j-1}, alpha_last = 1 - gamma_{m-2}.
+    # (The pre-fix mapping alpha[:-1] = -gamma extrapolated in the WRONG
+    # direction — verified on a linear fixed-point map, 2026-08-18.)
     alpha = jnp.zeros((m,), dtype=f_buf.dtype)
-    alpha = alpha.at[-1].set(1.0 - jnp.sum(gamma))
-    alpha = alpha.at[:-1].add(-gamma)
+    alpha = alpha.at[:-1].add(gamma)
+    alpha = alpha.at[1:].add(-gamma)
+    alpha = alpha.at[-1].add(1.0)
     alpha = jnp.where(valid, alpha, 0.0)
     alpha_sum = jnp.sum(alpha)
     safe = jnp.abs(alpha_sum) >= 1e-12
@@ -228,9 +234,15 @@ def solve_fixed_boundary_impl(
         psi_relaxed = (1.0 - alpha_relax) * c.psi + alpha_relax * psi_new
 
         if use_anderson:
+            # Residual of the UNDAMPED fixed-point map, f = G(psi) - psi:
+            # pairing it with the damped iterate y = psi + alpha f is the
+            # standard Walker-Ni type-II AA.  (The pre-fix residual
+            # psi_new - psi_relaxed = (1 - alpha)(G(psi) - psi) is
+            # IDENTICALLY ZERO at relaxation 1.0, silently disabling the
+            # mixer in the headline configuration.)
             psi_buf = jnp.roll(c.psi_buf, -1, axis=0).at[-1].set(psi_relaxed)
             f_buf = jnp.roll(c.f_buf, -1, axis=0).at[-1].set(
-                psi_new - psi_relaxed)
+                psi_new - c.psi)
             n_valid = jnp.minimum(c.n_valid + 1, m_hist)
 
             def do_mix(_):
@@ -245,12 +257,20 @@ def solve_fixed_boundary_impl(
             psi_buf, f_buf, n_valid = c.psi_buf, c.f_buf, c.n_valid
             psi_next = psi_relaxed
 
-        gs_res = gs_residual_rms(psi_next, source, r_1d, d_r, d_z)
+        # The per-iteration GS residual (a full-grid stencil + reduction)
+        # only gates convergence when use_gs_criterion is on; otherwise
+        # skip it statically — the final residual is still computed once
+        # post-loop for the result contract.
+        if use_gs_criterion:
+            gs_res = gs_residual_rms(psi_next, source, r_1d, d_r, d_z)
+            gs_best = jnp.minimum(gs_res, c.gs_best)
+        else:
+            gs_res = jnp.asarray(jnp.nan, dtype)
+            gs_best = c.gs_best
 
         improved = diff < c.best_diff
         best_diff = jnp.where(improved, diff, c.best_diff)
         best_psi = jnp.where(improved, psi_next, c.best_psi)
-        gs_best = jnp.minimum(gs_res, c.gs_best)
 
         upd_ok = diff < tol
         gs_ok = (gs_res < gs_tol) if use_gs_criterion else jnp.bool_(True)
@@ -450,8 +470,9 @@ def solve_equilibrium_fmg(
     prolong the converged flux, and warm-start the next level, finishing
     at the configured resolution and tolerance.  The coarse levels cost
     ~1/4 (1/16, ...) of a fine outer iteration each, and the warm start
-    roughly halves the fine-level outer count (513^2 headline: 13 -> ~6
-    Anderson-MG iterations; measured in ``bench.py``).  Same fixed point
+    roughly halves the fine-level outer count (513^2 headline: ~6
+    Anderson-MG iterations vs ~8 direct; measured in ``bench.py``).
+    Same fixed point
     as the direct solve to within the convergence-tolerance scale — the
     fine level runs the UNCHANGED residual-gated solve, only its initial
     guess differs.  (The reference's warm starts reuse a *previous* shot's
@@ -482,9 +503,18 @@ def solve_equilibrium_fmg(
                 cfg.solver,
                 convergence_threshold=(cfg.solver.convergence_threshold
                                        if n == nr else coarse_tol)))
+        # Warm levels need the EXACT fine-grid vacuum Dirichlet ring —
+        # preserve_initial_state alone would take the boundary from the
+        # prolonged field (O(h_coarse^2) boundary error that the fine
+        # solve can never repair).
+        level_grid = Grid.from_config(level_cfg, dtype=dtype)
+        bc = (vacuum_psi_from_config(level_grid, level_cfg).astype(dtype)
+              if psi is not None else None)
         res = solve_equilibrium(
             level_cfg,
+            grid=level_grid,
             psi0=psi,
+            boundary_flux=bc,
             preserve_initial_state=psi is not None,
             i_target=i_target,
             dtype=dtype,

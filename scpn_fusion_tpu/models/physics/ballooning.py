@@ -36,26 +36,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _ballooning_min_xi(
-    s: jnp.ndarray,
-    alpha: jnp.ndarray,
-    theta_max: float,
-    n_steps: int,
-) -> jnp.ndarray:
-    """Minimum of xi(theta) over [0, theta_max] from xi(0)=1, xi'(0)=0.
-
-    RK4 on the first-order system (u1, u2) with u1 = xi, u2 = f xi'
-    (the reference's variables, ``ballooning_solver.py:60-64``); returns
-    min(u1): negative iff the displacement crossed zero (unstable).
-    """
+def _integrate_newcomb(rhs, like, theta_max: float,
+                       n_steps: int) -> jnp.ndarray:
+    """min xi(theta) over [0, theta_max] from xi(0)=1, xi'(0)=0 by RK4
+    on the first-order system (u1, u2) = (xi, f xi') — the reference's
+    variables (``ballooning_solver.py:60-64``).  Shared by the circular
+    s-alpha and Miller-shaped operators (only ``rhs`` differs); returns
+    min(u1): negative iff the displacement crossed zero (unstable)."""
     h = theta_max / n_steps
-
-    def rhs(theta, y):
-        u1, u2 = y
-        w = s * theta - alpha * jnp.sin(theta)
-        f = 1.0 + w * w
-        g = alpha * (jnp.cos(theta) + w * jnp.sin(theta))
-        return jnp.stack([u2 / f, -g * u1])
 
     def step(carry, i):
         y, m = carry
@@ -67,10 +55,27 @@ def _ballooning_min_xi(
         y = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
         return (y, jnp.minimum(m, y[0])), None
 
-    y0 = jnp.stack([jnp.ones_like(s * alpha), jnp.zeros_like(s * alpha)])
-    (y, m), _ = jax.lax.scan(step, (y0, jnp.asarray(1.0, y0.dtype)),
+    y0 = jnp.stack([jnp.ones_like(like), jnp.zeros_like(like)])
+    (_, m), _ = jax.lax.scan(step, (y0, jnp.asarray(1.0, y0.dtype)),
                              jnp.arange(n_steps))
     return m
+
+
+def _ballooning_min_xi(
+    s: jnp.ndarray,
+    alpha: jnp.ndarray,
+    theta_max: float,
+    n_steps: int,
+) -> jnp.ndarray:
+    """Circular s-alpha Newcomb integration."""
+    def rhs(theta, y):
+        u1, u2 = y
+        w = s * theta - alpha * jnp.sin(theta)
+        f = 1.0 + w * w
+        g = alpha * (jnp.cos(theta) + w * jnp.sin(theta))
+        return jnp.stack([u2 / f, -g * u1])
+
+    return _integrate_newcomb(rhs, s * alpha, theta_max, n_steps)
 
 
 @partial(jax.jit, static_argnames=("theta_max", "n_steps"))
@@ -145,6 +150,9 @@ def second_stability_scan(
     ``ballooning_solver.py:96-135``), then band edges via index arithmetic.
     """
     s_vals = jnp.asarray(s_vals)
+    if not jnp.issubdtype(s_vals.dtype, jnp.floating):
+        s_vals = s_vals.astype(
+            jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     alphas = jnp.linspace(0.0, alpha_max, n_alpha, dtype=s_vals.dtype)
     stable = ballooning_stable(
         s_vals[:, None], alphas[None, :],
@@ -233,8 +241,7 @@ def marginal_alpha(
 # coefficient-for-coefficient (parity-tested).
 
 
-def _miller_coefficients(*, r0, a, rho, kappa, delta, q,
-                         n_theta: int, theta_max: float):
+def _miller_coefficients(*, r0, a, rho, kappa, delta, q, n_theta: int):
     """Shaped coefficient tables on a uniform theta grid."""
     from scpn_fusion_tpu.models.gyrokinetics.geometry import miller_geometry
 
@@ -262,9 +269,7 @@ def _miller_coefficients(*, r0, a, rho, kappa, delta, q,
 def _miller_min_xi(s, alpha, theta_tab, bdgt_tab, grr_tab, binv2_tab,
                    weight_tab, cos_hat_tab, sin_hat_tab,
                    theta_max: float, n_steps: int) -> jnp.ndarray:
-    """Newcomb integration of the shaped operator (RK4 scan, static)."""
-    h = theta_max / n_steps
-
+    """Newcomb integration of the shaped operator."""
     def interp(tab, theta):
         wrapped = theta - 2.0 * jnp.pi * jnp.round(theta / (2.0 * jnp.pi))
         return jnp.interp(wrapped, theta_tab, tab)
@@ -279,20 +284,7 @@ def _miller_min_xi(s, alpha, theta_tab, bdgt_tab, grr_tab, binv2_tab,
             interp(cos_hat_tab, theta) + lam * interp(sin_hat_tab, theta))
         return jnp.stack([u2 / jnp.maximum(f, 1e-12), -g * u1])
 
-    def step(carry, i):
-        y, m = carry
-        t = i * h
-        k1 = rhs(t, y)
-        k2 = rhs(t + 0.5 * h, y + 0.5 * h * k1)
-        k3 = rhs(t + 0.5 * h, y + 0.5 * h * k2)
-        k4 = rhs(t + h, y + h * k3)
-        y = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
-        return (y, jnp.minimum(m, y[0])), None
-
-    y0 = jnp.stack([jnp.ones_like(s * alpha), jnp.zeros_like(s * alpha)])
-    (_, m), _ = jax.lax.scan(step, (y0, jnp.asarray(1.0, y0.dtype)),
-                             jnp.arange(n_steps))
-    return m
+    return _integrate_newcomb(rhs, s * alpha, theta_max, n_steps)
 
 
 @partial(jax.jit, static_argnames=(
@@ -324,7 +316,7 @@ def miller_ballooning_stable(
     alpha = jnp.asarray(alpha, dtype)
     tabs = _miller_coefficients(
         r0=r0, a=a, rho=rho, kappa=kappa, delta=delta, q=q,
-        n_theta=n_theta, theta_max=theta_max)
+        n_theta=n_theta)
     tabs = tuple(t.astype(dtype) for t in tabs)
     s_b, a_b = jnp.broadcast_arrays(s, alpha)
     flat = jax.vmap(

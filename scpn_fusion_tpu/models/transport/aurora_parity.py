@@ -163,11 +163,18 @@ def radial_transport_budget_diagnostic(case: AuroraParityCase,
     after = finite_volume_inventory(jnp.sum(after_density, axis=1), radius,
                                     case.major_radius_m)
     rel = abs(float(after) - float(before)) / max(abs(float(before)), 1.0)
+    # The FV update is exactly conservative in exact arithmetic; the
+    # representable floor scales with the working dtype (f32 on the TPU
+    # path carries ~1e-7 rounding in the update itself, x64 ~1e-12).
+    eps = float(jnp.finfo(after_density.dtype).eps)
+    tol = max(1.0e-12, 2.0e3 * eps)
     return {
         "inventory_before": float(before),
         "inventory_after": float(after),
         "relative_inventory_error": rel,
-        "passed": bool(rel <= 1.0e-12),
+        "tolerance": tol,
+        "dtype": str(after_density.dtype),
+        "passed": bool(rel <= tol),
     }
 
 

@@ -137,9 +137,12 @@ def _anderson_mix_np(psi_hist: list, f_hist: list) -> np.ndarray:
     g_norm = float(np.linalg.norm(gamma))
     if g_norm > 10.0:
         gamma *= 10.0 / g_norm
+    # Telescoped type-II AA iterate weights (twin of the JAX fix):
+    # y_last - sum_j gamma_j (y_{j+1} - y_j).
     alpha = np.zeros(m)
-    alpha[-1] = 1.0 - gamma.sum()
-    alpha[:-1] -= gamma
+    alpha[:-1] += gamma
+    alpha[1:] -= gamma
+    alpha[-1] += 1.0
     s = alpha.sum()
     if abs(s) < 1e-12:
         return psi_hist[-1]
@@ -235,7 +238,9 @@ def solve_equilibrium_np(
         psi_relaxed = (1.0 - alpha) * psi + alpha * psi_new
         if anderson_m > 0:
             psi_hist.append(psi_relaxed.reshape(-1).copy())
-            f_hist.append((psi_new - psi_relaxed).reshape(-1).copy())
+            # Undamped fixed-point residual (twin of the JAX fix; the old
+            # psi_new - psi_relaxed vanishes at alpha = 1).
+            f_hist.append((psi_new - psi).reshape(-1).copy())
             if len(psi_hist) > anderson_m:
                 psi_hist.pop(0)
                 f_hist.pop(0)
