@@ -154,11 +154,11 @@ def main() -> int:
                "finite-difference power iteration.  The measured gains "
                "quantitatively explain the observed outer-iteration "
                "counts: gain 0.90 at alpha=0.1 -> ln(tol)/ln(0.90) ~ 90+ "
-               "iterations (the plain twin measures 156), gain 0.48 at "
-               "alpha=1.0 -> ~12 (the headline Anderson-MG at alpha=1.0 "
-               "measures ~13) — i.e. the headline's relaxation=1.0 "
-               "choice is the contraction-optimal one, measured rather "
-               "than asserted"),
+               "iterations (the plain twin measures 156); gain 0.48 at "
+               "alpha=1.0 -> ~12 plain undamped, which the corrected "
+               "type-II Anderson mixer cuts to ~8 (direct) / ~6 (FMG "
+               "warm) — relaxation=1.0 is the contraction-optimal "
+               "choice, measured rather than asserted"),
     ))
 
     write_report("ida_stability", lanes)
