@@ -51,7 +51,8 @@ def _make_cfg(n):
         physics=PhysicsParams(plasma_current_target=15.0,
                               vacuum_permeability=1.0),
         solver=SolverParams(max_iterations=200, convergence_threshold=1e-4,
-                            relaxation_factor=0.1, solver_method="multigrid",
+                            relaxation_factor=1.0,
+                            solver_method="anderson_mg", anderson_depth=4,
                             inner_sweeps=1),
     )
 
