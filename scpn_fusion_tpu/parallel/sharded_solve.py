@@ -61,6 +61,8 @@ def solve_equilibrium_sharded(
     n_devices: int | None = None,
     axis: str = "z",
     dtype=jnp.float32,
+    psi0: jnp.ndarray | None = None,
+    skip_seed: bool = False,
 ) -> EquilibriumResult:
     """Solve the fixed-boundary GS equilibrium with the inner elliptic solve
     distributed over a Z-slab device mesh.
@@ -79,12 +81,22 @@ def solve_equilibrium_sharded(
 
     elliptic = _make_elliptic_fn(mesh, axis, grid)
 
-    psi0 = jax.device_put(psi_bc, NamedSharding(mesh, P(axis, None))) \
-        if grid.NZ % mesh.shape[axis] == 0 else psi_bc
+    if psi0 is None:
+        psi_init = psi_bc
+    else:
+        # Warm start (FMG cascade): keep the supplied interior, re-impose
+        # the exact per-level vacuum boundary ring.
+        psi_init = psi0.astype(dtype)
+        psi_init = psi_init.at[0, :].set(psi_bc[0, :]) \
+                           .at[-1, :].set(psi_bc[-1, :]) \
+                           .at[:, 0].set(psi_bc[:, 0]) \
+                           .at[:, -1].set(psi_bc[:, -1])
+    if grid.NZ % mesh.shape[axis] == 0:
+        psi_init = jax.device_put(psi_init, NamedSharding(mesh, P(axis, None)))
 
     return _solve_fixed_boundary(
         grid,
-        psi0,
+        psi_init,
         psi_bc,
         jnp.asarray(cfg.physics.plasma_current_target, dtype),
         p_coeffs,
@@ -102,4 +114,60 @@ def solve_equilibrium_sharded(
         mu0=float(cfg.physics.vacuum_permeability),
         use_gs_criterion=sol.gs_residual_threshold > 0,
         elliptic_fn=elliptic,
+        skip_seed=skip_seed,
     )
+
+
+def solve_equilibrium_sharded_fmg(
+    cfg: ReactorConfig,
+    mesh: Mesh | None = None,
+    *,
+    n_devices: int | None = None,
+    axis: str = "z",
+    coarse_tol: float = 1e-3,
+    min_coarse: int = 65,
+    dtype=jnp.float32,
+) -> tuple[EquilibriumResult, list[dict]]:
+    """Distributed FMG cascade: the nested-iteration warm-start ladder of
+    ``models/equilibrium/fixed_boundary.solve_equilibrium_fmg`` with every
+    level's elliptic inner solve Z-slab-sharded over the mesh.  Coarse
+    levels converge at ``coarse_tol`` and seed the next level through a
+    bilinear prolongation (plain jnp ops, partitioned by GSPMD over the
+    same sharding); the finest level runs the unchanged residual-gated
+    solve at the configured tolerance.  Returns (result, cascade_info).
+    """
+    import dataclasses
+
+    from scpn_fusion_tpu.ops.multigrid import prolongate_bilinear
+
+    if mesh is None:
+        mesh = make_z_mesh(n_devices, axis=axis)
+
+    nr, nz = cfg.grid_resolution
+    if nr != nz:
+        raise ValueError("solve_equilibrium_sharded_fmg expects a square grid")
+    sizes = [nr]
+    while (sizes[-1] - 1) % 2 == 0 and (sizes[-1] - 1) // 2 + 1 >= min_coarse:
+        sizes.append((sizes[-1] - 1) // 2 + 1)
+    sizes = sizes[::-1]
+
+    psi = None
+    info: list[dict] = []
+    res = None
+    for n in sizes:
+        level_cfg = dataclasses.replace(
+            cfg,
+            grid_resolution=(n, n),
+            solver=dataclasses.replace(
+                cfg.solver,
+                convergence_threshold=(cfg.solver.convergence_threshold
+                                       if n == nr else coarse_tol)))
+        res = solve_equilibrium_sharded(
+            level_cfg, mesh, axis=axis, dtype=dtype,
+            psi0=psi, skip_seed=psi is not None)
+        info.append({"n": n, "iterations": int(res.iterations),
+                     "converged": bool(res.converged)})
+        if n != nr:
+            psi = prolongate_bilinear(res.psi, 2 * (n - 1) + 1,
+                                      2 * (n - 1) + 1)
+    return res, info

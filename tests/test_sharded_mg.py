@@ -113,7 +113,8 @@ def test_sharded_equilibrium_converges_with_parity(n_shards):
     cfg = _anderson_cfg(65)
     from scpn_fusion_tpu.models.equilibrium import solve_equilibrium
 
-    ref = solve_equilibrium(cfg, dtype=jnp.float64)
+    from scpn_fusion_tpu.models.equilibrium import solve_equilibrium as _se
+    ref = _se(cfg, dtype=jnp.float64)
     assert bool(ref.converged)
 
     mesh = make_z_mesh(n_shards)
@@ -137,3 +138,25 @@ def test_sharded_equilibrium_shard_count_invariance():
     span = float(psi2.max() - psi2.min())
     dev = float(np.max(np.abs(psi2 - psi8))) / span
     assert dev < 1e-10, f"2 vs 8 shards: dev {dev:.3e}"
+
+
+def test_sharded_fmg_cascade_converges_and_matches():
+    """Distributed FMG: the nested-iteration ladder converges on the
+    8-device mesh and lands on the single-device fixed point."""
+    from scpn_fusion_tpu.parallel.sharded_solve import (
+        solve_equilibrium_sharded_fmg,
+    )
+
+    cfg = _anderson_cfg(129)
+    res, info = solve_equilibrium_sharded_fmg(
+        cfg, make_z_mesh(8), min_coarse=65, dtype=jnp.float64)
+    assert [lv["n"] for lv in info] == [65, 129]
+    assert all(lv["converged"] for lv in info)
+
+    from scpn_fusion_tpu.models.equilibrium import solve_equilibrium as _se
+    ref = _se(cfg, dtype=jnp.float64)
+    span = float(jnp.max(ref.psi) - jnp.min(ref.psi))
+    dev = float(jnp.max(jnp.abs(res.psi - ref.psi))) / span
+    assert dev < 1e-3, dev
+    # Warm fine level must not exceed the cold direct iteration count.
+    assert info[-1]["iterations"] <= int(ref.iterations)
