@@ -176,6 +176,29 @@ def main() -> int:
               "virtual CPU mesh — program-shape evidence only; real-chip "
               "perf is bench.py's lane"))
 
+    # ── Lane 4: distributed FMG cascade (nested-iteration warm starts) ──
+    from scpn_fusion_tpu.parallel.sharded_solve import (
+        solve_equilibrium_sharded_fmg,
+    )
+
+    res_fmg, info = solve_equilibrium_sharded_fmg(
+        cfg, make_z_mesh(8), min_coarse=129, dtype=jnp.float64)
+    span = float(jnp.max(ref.psi) - jnp.min(ref.psi))
+    dev_fmg = float(jnp.max(jnp.abs(res_fmg.psi - ref.psi))) / span
+    ok4 = (all(lv["converged"] for lv in info)
+           and dev_fmg < 1e-3
+           and info[-1]["iterations"] <= int(ref.iterations))
+    lanes.append(LaneResult(
+        name="sharded_fmg_cascade",
+        status="pass" if ok4 else "fail",
+        metrics={"ladder": info,
+                 "span_rel_dev_vs_single_direct": dev_fmg,
+                 "single_direct_iterations": int(ref.iterations)},
+        thresholds={"span_rel_dev_vs_single_direct": 1e-3},
+        notes="nested-iteration warm-start ladder on the 8-device mesh "
+              "(coarse levels at 1e-3, fine at the configured tol): the "
+              "distributed counterpart of the bench FMG cascade"))
+
     path = write_report("sharded_convergence", lanes)
     print(f"wrote {path}")
     return 0 if all(lane.status == "pass" for lane in lanes) else 1
