@@ -1,6 +1,7 @@
 from scpn_fusion_tpu.models.equilibrium.fixed_boundary import (  # noqa: F401
     EquilibriumResult,
     solve_equilibrium,
+    solve_equilibrium_fmg,
 )
 from scpn_fusion_tpu.models.equilibrium.vacuum import vacuum_psi  # noqa: F401
 from scpn_fusion_tpu.models.equilibrium.amr import (  # noqa: F401
