@@ -290,6 +290,190 @@ def _mode_gk(args) -> int:
     return 0
 
 
+
+
+def _mode_divertor(args) -> int:
+    """Divertor heat exhaust: tungsten monoblock vs lithium vapor shield
+    + TEMHD operating point (reference CLI mode "divertor")."""
+    from scpn_fusion_tpu.models.physics.divertor_lab import (
+        divertor_heat_load, lithium_vapor_shield, temhd_liquid_metal_state,
+        tungsten_monoblock,
+    )
+
+    load = divertor_heat_load(args.p_sol, args.r0, args.b_pol,
+                              expansion_factor=args.expansion)
+    w = tungsten_monoblock(load.q_target)
+    li = lithium_vapor_shield(load.q_target)
+    st = temhd_liquid_metal_state(args.flow, args.p_sol, args.r0,
+                                  args.b_pol, expansion_factor=args.expansion)
+    print(json.dumps({
+        "lambda_q_mm": float(load.lambda_q_m) * 1e3,
+        "q_target_MW_m2": float(load.q_target) / 1e6,
+        "tungsten_surface_C": float(w.t_surface_c),
+        "tungsten_melted": bool(w.melted),
+        "lithium_surface_C": float(li.t_surface_c),
+        "temhd_stable": bool(st.is_stable),
+    }))
+    return 0
+
+
+def _mode_breeding(args) -> int:
+    """Multigroup blanket neutronics (reference CLI mode "breeding")."""
+    from scpn_fusion_tpu.models.nuclear.blanket import (
+        MultiGroupConfig, multigroup_tbr,
+    )
+
+    res = multigroup_tbr(MultiGroupConfig(
+        thickness_cm=args.thickness, li6_enrichment=args.li6))
+    print(json.dumps({"tbr": float(res.tbr),
+                      "thickness_cm": args.thickness,
+                      "li6_enrichment": args.li6}))
+    return 0
+
+
+def _mode_optimizer(args) -> int:
+    """Compact reactor random-search optimiser (reference CLI mode
+    "optimizer", ``compact_reactor_optimizer``)."""
+    from scpn_fusion_tpu.models.physics.design_scan import (
+        compact_reactor_search,
+    )
+
+    res = compact_reactor_search(n_samples=args.samples, seed=args.seed)
+    i = int(res.best_index)
+    pt = res.points
+    print(json.dumps({
+        "n_feasible": int(res.n_feasible),
+        "best": {"R0_m": float(pt.r_m[i]), "a_m": float(pt.a_m[i]),
+                 "B0_T": float(pt.b0_t[i]), "Ip_MA": float(pt.ip_ma[i]),
+                 "Q": float(pt.q_fusion[i]),
+                 "P_fusion_MW": float(pt.p_fusion_mw[i])},
+    }))
+    return 0 if int(res.n_feasible) > 0 else 1
+
+
+def _mode_heating(args) -> int:
+    """ECRH deposition profile + single-pass efficiency (reference CLI
+    mode "heating", ``rf_heating``)."""
+    from scpn_fusion_tpu.models.physics.rf_heating import (
+        ECRHParams, ecrh_deposition,
+    )
+
+    rho, p_dep, eff = ecrh_deposition(
+        ECRHParams(), p_ecrh_mw=args.power, t_e_kev=args.te,
+        n_e_m3=args.ne * 1e19)
+    i = int(np.argmax(np.asarray(p_dep)))
+    print(json.dumps({
+        "absorbed_fraction": float(eff),
+        "peak_rho": float(np.asarray(rho)[i]),
+        "peak_MW_per_bin": float(np.asarray(p_dep)[i]),
+    }))
+    return 0
+
+
+def _mode_wdm(args) -> int:
+    """Whole-device-model discharge (reference CLI mode "wdm")."""
+    from scpn_fusion_tpu.models.wdm import (
+        WDMConfig, collapse_time_s, default_initial_state, run_discharge,
+    )
+
+    cfg = WDMConfig()
+    trace = run_discharge(cfg, default_initial_state(cfg),
+                          n_steps=args.steps)
+    tc = collapse_time_s(trace)
+    print(json.dumps({
+        "steps": args.steps,
+        "final_te_core_keV": float(np.asarray(trace.te_core_kev)[-1]),
+        "final_w_total_1e19": float(np.asarray(trace.w_impurity_total)[-1]),
+        "collapsed": tc is not None,
+        "collapse_time_s": tc,
+    }))
+    return 0
+
+
+def _mode_safety(args) -> int:
+    """Disruption predictor quick train/eval (reference CLI mode
+    "safety", ``disruption_predictor``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.control.disruption import (
+        evaluate_predictor, train_disruption_predictor,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    n, t_len = 24, 200
+    shots = rng.standard_normal((n, t_len, 3)).astype(np.float32) * 0.1
+    labels = (np.arange(n) % 2 == 0).astype(np.float32)
+    t = np.arange(t_len // 2, dtype=np.float32)
+    grow = 1.0 - np.exp(-t / 30.0)
+    for i in range(n):
+        if labels[i] > 0.5:
+            shots[i, t_len // 2:, 0] += 2.0 * grow * np.sin(0.8 * t)
+            shots[i, t_len // 2:, 1] += 1.5 * grow
+    pred = train_disruption_predictor(
+        jnp.asarray(shots), jnp.asarray(labels), jax.random.PRNGKey(0),
+        n_steps=args.train_steps)
+    m = evaluate_predictor(pred, jnp.asarray(shots), jnp.asarray(labels))
+    print(json.dumps({"recall": float(m["recall"]),
+                      "fpr": float(m["fpr"]),
+                      "n_shots": n}))
+    return 0 if float(m["recall"]) >= 0.9 else 1
+
+
+def _mode_sawtooth(args) -> int:
+    """Kadomtsev sawtooth monitor + crash (reference CLI mode "sawtooth")."""
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.models.physics.sawtooth import sawtooth_step
+
+    rho = jnp.linspace(0.0, 1.0, args.n)
+    q = args.q0 + (args.qa - args.q0) * rho**2
+    shear = jnp.gradient(q) / jnp.maximum(jnp.gradient(rho), 1e-9) \
+        * rho / jnp.maximum(q, 1e-9)
+    t = 5.0 * (1.0 - rho**2) + 0.5
+    nprof = 8.0 * (1.0 - rho**2) + 1.0
+    res = sawtooth_step(rho, t, nprof, q, shear)
+    print(json.dumps({
+        "triggered": bool(res.triggered),
+        "rho_q1": float(res.rho_1),
+        "rho_mix": float(res.rho_mix),
+        "t_core_before_keV": float(t[0]),
+        "t_core_after_keV": float(res.t_new[0]),
+    }))
+    return 0
+
+
+def _mode_diagnostics(args) -> int:
+    """Synthetic diagnostics on an analytic plasma (reference CLI mode
+    "diagnostics", ``run_diagnostics``)."""
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.core.grid import Grid
+    from scpn_fusion_tpu.models.diagnostics.forward import (
+        generate_forward_channels,
+    )
+
+    n = args.n
+    grid = Grid.from_bounds(n, n, 4.0, 8.4, -2.2, 2.2, dtype=np.float32)
+    rho = jnp.sqrt(((grid.RR - 6.2) / 2.0) ** 2 + (grid.ZZ / 3.6) ** 2)
+    ne = 1e20 * jnp.maximum(1.0 - rho**2, 0.0)
+    te = 20.0 * jnp.maximum(1.0 - rho**2, 0.0) ** 1.5
+    src = 1e18 * jnp.maximum(1.0 - rho**2, 0.0) ** 2
+    chords = jnp.asarray([[[6.2, -2.2], [6.2, 2.2]],
+                          [[5.0, -2.2], [5.0, 2.2]]])
+    pts = jnp.asarray([[6.2, 0.0], [7.0, 0.0]])
+    ch = generate_forward_channels(
+        ne_m3=ne, te_kev=te, neutron_source=src, grid=grid, chords=chords,
+        thomson_points=pts, ece_channels=pts,
+        volume_element_m3=grid.dR * grid.dZ * 2 * np.pi * 6.2)
+    print(json.dumps({
+        "interferometer_rad": np.asarray(ch.interferometer_rad).tolist(),
+        "neutron_rate_hz": float(ch.neutron_rate_hz),
+        "thomson_v": np.asarray(ch.thomson_v).tolist(),
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="scpn-fusion-tpu",
@@ -386,7 +570,51 @@ def build_parser() -> argparse.ArgumentParser:
                     help="kx=ky=theta=vpar grid size (mu = grid/2)")
     gk.set_defaults(fn=_mode_gk)
 
+    dv = sub.add_parser("divertor", help="divertor heat exhaust lab")
+    dv.add_argument("--p-sol", type=float, default=80.0)
+    dv.add_argument("--r0", type=float, default=2.1)
+    dv.add_argument("--b-pol", type=float, default=2.5)
+    dv.add_argument("--expansion", type=float, default=15.0)
+    dv.add_argument("--flow", type=float, default=2.0)
+    dv.set_defaults(fn=_mode_divertor)
+
+    br = sub.add_parser("breeding", help="multigroup blanket TBR")
+    br.add_argument("--thickness", type=float, default=80.0)
+    br.add_argument("--li6", type=float, default=0.9)
+    br.set_defaults(fn=_mode_breeding)
+
+    op = sub.add_parser("optimizer", help="compact reactor search")
+    op.add_argument("--samples", type=int, default=4096)
+    op.add_argument("--seed", type=int, default=0)
+    op.set_defaults(fn=_mode_optimizer)
+
+    he = sub.add_parser("heating", help="ECRH deposition")
+    he.add_argument("--power", type=float, default=20.0)
+    he.add_argument("--te", type=float, default=20.0)
+    he.add_argument("--ne", type=float, default=10.0, help="ne [1e19 m^-3]")
+    he.set_defaults(fn=_mode_heating)
+
+    wd = sub.add_parser("wdm", help="whole-device-model discharge")
+    wd.add_argument("--steps", type=int, default=200)
+    wd.set_defaults(fn=_mode_wdm)
+
+    sf = sub.add_parser("safety", help="disruption predictor quick eval")
+    sf.add_argument("--seed", type=int, default=0)
+    sf.add_argument("--train-steps", type=int, default=1500)
+    sf.set_defaults(fn=_mode_safety)
+
+    sw = sub.add_parser("sawtooth", help="Kadomtsev sawtooth crash")
+    sw.add_argument("--n", type=int, default=101)
+    sw.add_argument("--q0", type=float, default=0.9)
+    sw.add_argument("--qa", type=float, default=3.5)
+    sw.set_defaults(fn=_mode_sawtooth)
+
+    dg = sub.add_parser("diagnostics", help="synthetic forward diagnostics")
+    dg.add_argument("--n", type=int, default=65)
+    dg.set_defaults(fn=_mode_diagnostics)
+
     return p
+
 
 
 def main(argv=None) -> int:

@@ -142,3 +142,43 @@ class TestTelemetry:
         t.record("anything", "y")
         with pytest.raises(FallbackBudgetExceeded):
             t.record("anything", "y")
+
+
+class TestNewModes:
+    def test_breeding_mode(self, capsys):
+        rc = cli_main(["breeding", "--thickness", "80", "--li6", "0.9"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out["tbr"] == pytest.approx(1.1409, abs=2e-3)
+
+    def test_sawtooth_mode(self, capsys):
+        rc = cli_main(["sawtooth", "--q0", "0.9"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["triggered"] is True
+        assert 0.0 < out["rho_q1"] < out["rho_mix"] < 1.0
+
+    def test_divertor_mode(self, capsys):
+        rc = cli_main(["divertor"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out["tungsten_melted"] is True        # unmitigated 80 MW
+        assert out["lithium_surface_C"] < 2000.0
+
+    def test_heating_mode(self, capsys):
+        rc = cli_main(["heating"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out["absorbed_fraction"] == pytest.approx(0.99, abs=0.02)
+
+    def test_optimizer_mode(self, capsys):
+        rc = cli_main(["optimizer", "--samples", "1024"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["n_feasible"] > 0
+        assert out["best"]["Q"] >= 10.0
+
+    def test_diagnostics_mode(self, capsys):
+        rc = cli_main(["diagnostics", "--n", "33"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out["interferometer_rad"][0] > out["interferometer_rad"][1]
+        assert out["neutron_rate_hz"] > 0
