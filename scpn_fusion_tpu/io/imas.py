@@ -76,10 +76,19 @@ def ids_put(ids: dict, path: str, value) -> None:
     if path not in schema:
         raise IdsError(f"path {path!r} not in {ids['_ids']} schema")
     kind = schema[path]
+    # Fail-closed coercion: hostile payloads (strings, ragged nests, None)
+    # must surface as IdsError, never as a raw TypeError/ValueError from the
+    # converter (fuzz finding, tests/test_fuzz_harness.py).
     if kind == "scalar":
-        value = float(value)
+        try:
+            value = float(value)
+        except (TypeError, ValueError) as exc:
+            raise IdsError(f"{path} expects a real scalar: {exc}") from exc
     else:
-        value = np.asarray(value, dtype=np.float64)
+        try:
+            value = np.asarray(value, dtype=np.float64)
+        except (TypeError, ValueError) as exc:
+            raise IdsError(f"{path} expects a numeric array: {exc}") from exc
         if kind == "array" and value.ndim != 1:
             raise IdsError(f"{path} expects a 1D array")
         if kind == "array2d" and value.ndim != 2:
@@ -115,6 +124,8 @@ def ids_from_json(path: str | Path) -> dict:
     if p.stat().st_size > MAX_IDS_BYTES:
         raise IdsError(f"IDS file exceeds size cap: {p}")
     ids = json.loads(p.read_text())
+    if not isinstance(ids, dict):
+        raise IdsError(f"IDS file must hold a JSON object: {p}")
     name = ids.get("_ids")
     if name not in IDS_SCHEMAS:
         raise IdsError(f"file does not contain a known IDS: {p}")

@@ -27,8 +27,38 @@ def _fmt_metric(v) -> str:
     return str(v)
 
 
+def _verify_checksums(reports: list[Path]) -> list[str]:
+    """Recompute every report's payload sha256 (tamper check)."""
+    import hashlib
+
+    bad = []
+    for path in reports:
+        rep = json.loads(path.read_text())
+        recorded = rep.get("payload_sha256")
+        if recorded is None:
+            # The meta-runner summary (full_pipeline_summary.json) is an
+            # aggregate index, not a checksummed evidence report.
+            if "lanes" in rep:
+                bad.append(f"{path.name}: no payload_sha256")
+            continue
+        body = {k: v for k, v in rep.items() if k != "payload_sha256"}
+        digest = hashlib.sha256(
+            json.dumps(body, sort_keys=True, default=str).encode()).hexdigest()
+        if digest != recorded:
+            bad.append(f"{path.name}: checksum mismatch "
+                       f"({digest[:12]} != {recorded[:12]})")
+    return bad
+
+
 def main() -> int:
+    check = "--check" in sys.argv
     reports = sorted(REPORTS.glob("*.json"))
+    if check:
+        bad = _verify_checksums(reports)
+        if bad:
+            print("TAMPERED/INVALID reports:\n  " + "\n  ".join(bad))
+            return 1
+        print(f"all {len(reports)} report checksums verify")
     lines = [
         "# RESULTS — scpn_fusion_tpu validation evidence",
         "",
