@@ -74,6 +74,7 @@ def main() -> int:
     x64 = bool(jax.config.jax_enable_x64)
 
     from scpn_fusion_tpu.io import read_geqdsk
+    from scpn_fusion_tpu.io.geqdsk import write_geqdsk
     from scpn_fusion_tpu.models.equilibrium import reconstruction as rc
     from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
 
@@ -202,7 +203,94 @@ def main() -> int:
                "are gated); recorded here as attribution evidence, not "
                "accuracy evidence")))
 
-    # ── Lane 6: real DIII-D 145419 — blocked, honestly ──
+    # ── Lane 6: DIII-D/JET strict floor + attribution (VERDICT r3 next #1) ──
+    # The 5 DIII-D + 5 JET public fixtures are damped-Solov'ev fields whose
+    # profile tables do not reproduce their own Delta*psi (lane 5), so the
+    # strict full-domain metrics on them are a FLOOR set by the fixture, not
+    # the solver.  The gate is the ATTRIBUTION: the measured deep-RMS must
+    # match the first-order prediction from the fixture's inconsistency
+    # (psi* - psi ~ L^-1 Pi_model (S_model - Delta*psi)) within [1.0, 2.5]x
+    # — solver regressions break the upper bound, gate-gaming breaks the
+    # lower.  (First-order underpredicts at 40-70 % error amplitudes, hence
+    # the asymmetric band; measured 1.49-1.82 across machines.)
+    DIIID_JET = [f"diiid/{n}" for n in (
+        "diiid_hmode_1p5MA.geqdsk", "diiid_hmode_2MA.geqdsk",
+        "diiid_lmode_1MA.geqdsk", "diiid_negdelta.geqdsk",
+        "diiid_snowflake.geqdsk")] + [f"jet/{n}" for n in (
+        "jet_dt_3p5MA.geqdsk", "jet_high_ip_4p8MA.geqdsk",
+        "jet_hmode_3MA.geqdsk", "jet_hybrid_2p5MA.geqdsk",
+        "jet_lmode_2MA.geqdsk")]
+    m6, t6, ok6 = {}, {}, True
+    eqs = {}
+    for rel in DIIID_JET:
+        eq = read_geqdsk(REF_DATA / rel)
+        eqs[rel] = eq
+        case = rc.prepare_case(eq)
+        out = rc.reconstruct(case, subcell=4, anderson_m=8, max_iter=200)
+        pred = rc.attribution_prediction(case)
+        key = rel.split("/")[-1].split(".")[0]
+        ratio = out["deep_rms_rel_span"] / max(pred, 1e-30)
+        m6[f"{key}.deep_rms_rel_span"] = out["deep_rms_rel_span"]
+        m6[f"{key}.nrmse"] = out["nrmse_range"]
+        m6[f"{key}.predicted_deep_rms"] = pred
+        m6[f"{key}.actual_over_predicted"] = ratio
+        m6[f"{key}.fixture_rel_l2"] = case.source_best_fit_rel_l2
+        t6[f"{key}.actual_over_predicted"] = "[1.0, 2.5]"
+        ok6 = ok6 and (1.0 <= ratio <= 2.5)
+    lanes.append(LaneResult(
+        name="diiid_jet_strict_floor_attribution",
+        status="pass" if ok6 else "fail",
+        metrics=m6, thresholds=t6,
+        notes=("strict measured-external-source reconstruction over ALL 10 "
+               "DIII-D/JET public fixtures; their 24-52 % NRMSE is the "
+               "fixtures' own non-self-consistency (generator: "
+               "generate_diiid_jet_geqdsk.py damped-Solov'ev + independent "
+               "profile tables; the reference's gate excludes them, "
+               "machine=='sparc' only) — gated here by first-order error "
+               "attribution, not by accuracy the data cannot support")))
+
+    # ── Lane 7: DIII-D/JET GS-projection closed loop at the REFERENCE gates ──
+    # gs_project() replaces each fixture's psi/anchors/tables with the
+    # nearest self-consistent equilibrium at the same machine parameters;
+    # the projected file goes through the FULL pipeline from scratch (write
+    # -> parse -> prepare_case -> strict reconstruct) and must pass the
+    # reference's own SPARC gates (0.05 NRMSE, benchmark_sparc_geqdsk_rmse
+    # .py:31) + the 0.02 deep-RMS headroom gate — the DIII-D/JET-parameter
+    # counterpart of the 145419 ~2 % deep-RMS result.
+    import tempfile
+
+    m7, t7, ok7 = {}, {}, True
+    with tempfile.TemporaryDirectory(prefix="scpn-gsproj-") as tmp:
+        for rel in DIIID_JET:
+            proj, info = rc.gs_project(eqs[rel])
+            key = rel.split("/")[-1].split(".")[0]
+            p = Path(tmp) / f"proj_{key}.geqdsk"
+            write_geqdsk(proj, p)
+            case_p = rc.prepare_case(read_geqdsk(p))
+            out_p = rc.reconstruct(case_p, subcell=4, anderson_m=8,
+                                   max_iter=200)
+            m7[f"{key}.nrmse"] = out_p["nrmse_range"]
+            m7[f"{key}.deep_rms_rel_span"] = out_p["deep_rms_rel_span"]
+            m7[f"{key}.projection_distance_deep_rms"] = (
+                info["projection_distance_deep_rms"])
+            t7[f"{key}.nrmse"] = NRMSE_GATE
+            t7[f"{key}.deep_rms_rel_span"] = DEEP_RMS_GATE
+            ok7 = ok7 and (out_p["nrmse_range"] < NRMSE_GATE
+                           and out_p["deep_rms_rel_span"] < DEEP_RMS_GATE)
+    lanes.append(LaneResult(
+        name="diiid_jet_projected_strict_gate",
+        status="pass" if ok7 else "fail",
+        metrics=m7, thresholds=t7,
+        notes=("closed-loop strict validation at DIII-D/JET machine "
+               "parameters on self-consistent inputs: gs-projected fixture "
+               "-> GEQDSK write/parse -> fresh prepare_case -> strict "
+               "reconstruct; gates are the REFERENCE's own (0.05 NRMSE) + "
+               "0.02 deep-RMS (the ~2 % level of the reference's real-shot "
+               "145419 result).  Exercises X-point/limited topologies, "
+               "neg-delta and snowflake shaping through the full strict "
+               "pipeline. " + DISCLOSURE)))
+
+    # ── Lane 8: real DIII-D 145419 — blocked, honestly ──
     lanes.append(LaneResult(
         name="real_diiid_145419",
         status="blocked",
