@@ -86,6 +86,7 @@ def _anderson_mix(
     psi_buf: jnp.ndarray,
     f_buf: jnp.ndarray,
     n_valid: jnp.ndarray,
+    gram_in_f32: bool = False,
 ) -> jnp.ndarray:
     """Tikhonov-regularised Anderson mixing over fixed-size history buffers.
 
@@ -116,10 +117,19 @@ def _anderson_mix(
     d_f = jnp.where(pair_valid[:, None, None], d_f, 0.0)
 
     rhs = f_masked[-1]
-    gram = jnp.einsum("mij,nij->mn", d_f, d_f)
+    # ``gram_in_f32`` (mixed-precision path): the Gram build + LU solve run
+    # in f32 — TPU XLA's LuDecomposition has no f64 lowering, and the mixing
+    # WEIGHTS only steer the combination (any weight error is absorbed by
+    # the fixed-point iteration); the combination itself stays in the
+    # buffers' own (f64) dtype below, which is what preserves precision.
+    cdt = jnp.float32 if gram_in_f32 else f_buf.dtype
+    d_f_c = d_f.astype(cdt)
+    gram = jnp.einsum("mij,nij->mn", d_f_c, d_f_c)
     scale = jnp.trace(gram) / (m - 1)
-    gram = gram + (1e-10 + 1e-8 * scale) * jnp.eye(m - 1, dtype=f_buf.dtype)
-    gamma = jnp.linalg.solve(gram, jnp.einsum("mij,ij->m", d_f, rhs))
+    gram = gram + (1e-10 + 1e-8 * scale) * jnp.eye(m - 1, dtype=cdt)
+    gamma = jnp.linalg.solve(
+        gram, jnp.einsum("mij,ij->m", d_f_c, rhs.astype(cdt))
+    ).astype(f_buf.dtype)
     # Extrapolation safeguard: bound ||gamma|| (standard safeguarded-AA).
     g_norm = jnp.linalg.norm(gamma)
     g_max = jnp.asarray(10.0, f_buf.dtype)
@@ -166,6 +176,7 @@ def solve_fixed_boundary_impl(
     use_pallas: bool = False,
     elliptic_fn=None,
     skip_seed: bool = False,
+    anderson_gram_f32: bool = False,
 ) -> EquilibriumResult:
     r_1d = grid.R
     rr = grid.RR
@@ -246,7 +257,8 @@ def solve_fixed_boundary_impl(
             n_valid = jnp.minimum(c.n_valid + 1, m_hist)
 
             def do_mix(_):
-                mixed = _anderson_mix(psi_buf, f_buf, n_valid)
+                mixed = _anderson_mix(psi_buf, f_buf, n_valid,
+                                      gram_in_f32=anderson_gram_f32)
                 return apply_dirichlet(mixed, psi_bc)
 
             psi_next = jax.lax.cond(
@@ -359,7 +371,8 @@ _solve_fixed_boundary = partial(
     jax.jit,
     static_argnames=("grid", "solver_method", "max_iter", "h_mode",
                      "inner_sweeps", "anderson_m", "mu0", "use_gs_criterion",
-                     "use_pallas", "elliptic_fn", "skip_seed"),
+                     "use_pallas", "elliptic_fn", "skip_seed",
+                     "anderson_gram_f32"),
 )(solve_fixed_boundary_impl)
 
 
@@ -450,7 +463,8 @@ def solve_equilibrium(
         anderson_m=sol.anderson_depth,
         mu0=mu0,
         use_gs_criterion=sol.gs_residual_threshold > 0,
-        use_pallas=sol.use_pallas and jax.default_backend() == "tpu",
+        use_pallas=(sol.use_pallas and jax.default_backend() == "tpu"
+                    and jnp.dtype(dtype) == jnp.float32),
         skip_seed=skip_seed,
     )
 

@@ -148,7 +148,7 @@ def _dummy_eq(grid: Grid, dtype, max_iter: int) -> EquilibriumResult:
     jax.jit,
     static_argnames=("cfg", "grid", "max_outer_iter", "tol", "optimize_shape",
                      "tikhonov_alpha", "mu0_green", "use_pallas",
-                     "use_wall_response"),
+                     "use_wall_response", "anderson_gram_f32"),
 )
 def _run_free_boundary(
     coils: CoilSet,
@@ -161,6 +161,7 @@ def _run_free_boundary(
     tikhonov_alpha: float,
     mu0_green: float,
     use_pallas: bool,
+    anderson_gram_f32: bool = False,
     use_wall_response: bool = False,
 ) -> FreeBoundaryResult:
     dtype = coils.currents.dtype
@@ -215,6 +216,7 @@ def _run_free_boundary(
             mu0=mu0_cfg,
             use_gs_criterion=False,
             use_pallas=use_pallas,
+            anderson_gram_f32=anderson_gram_f32,
         )
 
     def body(c: _OuterCarry) -> _OuterCarry:
@@ -275,6 +277,7 @@ def solve_free_boundary(
     mu0_green: float | None = None,
     use_wall_response: bool = False,
     dtype=jnp.float32,
+    anderson_gram_f32: bool = False,
 ) -> FreeBoundaryResult:
     """Free-boundary equilibrium: coil flux BC <-> inner GS solve outer loop.
 
@@ -302,6 +305,11 @@ def solve_free_boundary(
         optimize_shape=bool(optimize_shape),
         tikhonov_alpha=float(tikhonov_alpha),
         mu0_green=float(mu0_green),
-        use_pallas=cfg.solver.use_pallas and jax.default_backend() == "tpu",
+        # Pallas SOR kernel is f32-only (TPU VMEM tiling); f64/mixed runs
+        # must fall back to the XLA smoother.
+        use_pallas=(cfg.solver.use_pallas
+                    and jax.default_backend() == "tpu"
+                    and jnp.dtype(dtype) == jnp.float32),
         use_wall_response=bool(use_wall_response),
+        anderson_gram_f32=bool(anderson_gram_f32),
     )
