@@ -63,7 +63,9 @@ def main() -> int:
         Coil(r=10.8, z=0.0, current=6.0), Coil(r=8.0, z=-4.8, current=4.0),
         Coil(r=3.5, z=-4.8, current=-1.0), Coil(r=10.8, z=2.5, current=3.0),
     )
-    def measure(n, max_outer=12, tol=1e-4):
+    def measure(n, max_outer=12, tol=1e-4, dtype=None):
+        dtype = dtype or jnp.float32
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
         cfg = ReactorConfig(
             reactor_name=f"fb-forward-{n}",
             grid_resolution=(n, n),
@@ -78,14 +80,14 @@ def main() -> int:
                                 solver_method="anderson_mg",
                                 anderson_depth=4),
         )
-        grid = Grid.from_config(cfg, dtype=np.float32)
-        coils0 = coilset_from_config(cfg, jnp.float32)
+        grid = Grid.from_config(cfg, dtype=np_dtype)
+        coils0 = coilset_from_config(cfg, dtype)
 
         def forward(currents):
             res = solve_free_boundary(
                 cfg, coils0._replace(currents=currents), grid=grid,
                 max_outer_iter=max_outer, tol=tol, mu0_green=1.0,
-                dtype=jnp.float32)
+                dtype=dtype, anderson_gram_f32=dtype == jnp.float64)
             return (jnp.sum(res.psi), res.outer_iterations, res.converged)
 
         @partial(jax.jit, static_argnames=("k",))
@@ -94,7 +96,7 @@ def main() -> int:
                 out = forward(base_currents * scale)
                 return carry, out
 
-            scales = 1.0 + 0.003 * jnp.arange(k, dtype=jnp.float32)
+            scales = 1.0 + 0.003 * jnp.arange(k, dtype=dtype)
             _, outs = jax.lax.scan(one, 0, scales)
             return outs
 
@@ -145,6 +147,35 @@ def main() -> int:
                "path) vs the reference's FP64 H100 figure; accuracy at "
                "f32 is separately gated in precision_budget.json"),
     ))
+
+    # ── f64 apples-to-apples lane (VERDICT r3 next #8): the reference's
+    # 13.0 ms is FP64 on a dedicated H100; this lane runs the SAME solve in
+    # f64 on TPU (XLA-emulated f64 arithmetic, Anderson Gram in f32 since
+    # TPU has no f64 LU, Pallas smoother auto-disabled).  Beating 13.0 ms
+    # here makes the f32 3.9 ms headline comparison unambiguous.
+    if backend == "tpu":
+        with jax.enable_x64(True):
+            m64 = measure(129, dtype=jnp.float64)
+        ok64 = m64["all_converged"] and 0.0 < m64["device_ms"] <= REF_WARM_MS
+        lanes.append(LaneResult(
+            name="warm_forward_129_device_f64",
+            status="pass" if ok64 else "fail",
+            metrics={"device_per_solve_ms": round(m64["device_ms"], 3),
+                     "wall_1_solve_ms": round(m64["w1"], 1),
+                     "outer_iterations": m64["iters"],
+                     "all_converged": m64["all_converged"],
+                     "reference_h100_fp64_warm_ms": REF_WARM_MS,
+                     "beat_factor": round(REF_WARM_MS
+                                          / max(m64["device_ms"], 1e-9), 2)},
+            thresholds={"device_per_solve_ms": REF_WARM_MS},
+            notes=("FULL-f64 free-boundary forward on TPU (emulated f64; "
+                   "f32-Gram Anderson) vs the reference's FP64 H100 13.0 ms "
+                   "— same precision, same 129^2 problem class, slope-timed"),
+        ))
+    else:
+        lanes.append(LaneResult(
+            name="warm_forward_129_device_f64", status="blocked",
+            notes="TPU backend unavailable in this environment"))
 
     # Beyond the reference: the same compiled forward at 257^2 (the
     # reference ships no free-boundary number above 129^2).
