@@ -474,6 +474,223 @@ def _mode_diagnostics(args) -> int:
     return 0
 
 
+def _mode_optimal(args) -> int:
+    """Optimal shot-trajectory search (reference CLI mode "optimal",
+    ``fusion_optimal_control``): Adam on the differentiable shot objective."""
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.control.optimal_scenario import (
+        OptimizerConfig,
+        ShotKnobs,
+        optimize_shot,
+    )
+    from scpn_fusion_tpu.control.scenario import FluxBudget
+
+    budget = FluxBudget(phi_cs_vs=args.flux_vs, l_plasma_uh=7.0,
+                        r0_m=args.r0)
+    k0 = ShotKnobs(jnp.asarray(args.p_aux), jnp.asarray(args.ne),
+                   jnp.asarray(args.ip))
+    res = optimize_shot(k0, budget, cfg=OptimizerConfig(n_iters=args.iters))
+    hist = np.asarray(res.loss_history)
+    print(json.dumps({
+        "final_loss": float(hist[-1]),
+        "feasible": bool(res.feasible),
+        "q_flattop": float(res.q_flattop),
+        "p_aux_mw": float(res.knobs.p_aux_flat_mw),
+        "ne_1e19": float(res.knobs.ne_flat_19),
+        "ip_ma": float(res.knobs.ip_flat_ma),
+        "iterations": args.iters,
+    }))
+    return 0
+
+
+def _mode_learning(args) -> int:
+    """SOC + soft-Q learning runtime (reference CLI mode "learning",
+    ``advanced_soc_fusion_learning``)."""
+    import jax
+
+    from scpn_fusion_tpu.control.soc_learning import run_soc_learning
+
+    _, summary, _ = run_soc_learning(jax.random.PRNGKey(args.seed),
+                                     n_steps=args.steps)
+    print(json.dumps({k: float(v) for k, v in summary.items()}))
+    return 0
+
+
+def _mode_digital_twin(args) -> int:
+    """Reduced digital twin shot (reference CLI mode "digital-twin")."""
+    from scpn_fusion_tpu.control.digital_twin import (
+        TwinConfig,
+        run_digital_twin,
+    )
+
+    _, trace = run_digital_twin(TwinConfig(grid_size=args.n),
+                                n_steps=args.steps)
+    print(json.dumps({
+        "t_core_final": float(np.asarray(trace.t_core)[-1]),
+        "max_island_width": float(np.max(np.asarray(trace.island_widths))),
+        "max_danger_fraction": float(np.max(np.asarray(
+            trace.danger_fraction))),
+        "steps": args.steps,
+    }))
+    return 0
+
+
+def _mode_control_room(args) -> int:
+    """Multi-subsystem control-room session (reference CLI mode
+    "control-room")."""
+    from scpn_fusion_tpu.control.control_room import (
+        render_control_room_report,
+        run_control_room_session,
+    )
+
+    trace, summary = run_control_room_session(
+        steps=args.steps, size=args.n, seed=args.seed)
+    if args.report:
+        Path(args.report).write_text(
+            render_control_room_report(trace, summary))
+        print(f"report: {args.report}", file=sys.stderr)
+    print(json.dumps({k: (float(v) if isinstance(v, (int, float))
+                          or hasattr(v, "item") else v)
+                      for k, v in summary.items()}))
+    return 0
+
+
+def _mode_sandpile(args) -> int:
+    """SOC sandpile reactor (reference CLI mode "sandpile")."""
+    from scpn_fusion_tpu.models.physics.sandpile import (
+        SandpileConfig,
+        avalanche_statistics,
+        run_sandpile,
+    )
+
+    trace = run_sandpile(SandpileConfig(n_cells=args.n, n_steps=args.steps),
+                         seed=args.seed)
+    stats = avalanche_statistics(trace)
+    print(json.dumps({k: float(v) for k, v in stats.items()}))
+    return 0
+
+
+def _mode_nuclear(args) -> int:
+    """Plasma-wall interaction screen (reference CLI mode "nuclear",
+    ``nuclear_wall_interaction``): sputtering/erosion scan on a first-wall
+    material."""
+    from scpn_fusion_tpu.models.nuclear.pwi import (
+        SputteringMaterial,
+        erosion_scan,
+    )
+
+    mat = SputteringMaterial.from_name(args.material)
+    temps, erosion, yields = erosion_scan(
+        mat, args.flux, args.t_min, args.t_max, args.n)
+    erosion = np.asarray(erosion)
+    temps = np.asarray(temps)
+    print(json.dumps({
+        "material": args.material,
+        "peak_erosion_mm_year": float(erosion.max()),
+        "t_at_peak_ev": float(temps[int(erosion.argmax())]),
+        "threshold_t_ev": float(temps[int(np.argmax(erosion > 0.0))]),
+    }))
+    return 0
+
+
+def _mode_geometry(args) -> int:
+    """3D geometry / force-balance screen (reference CLI mode "geometry",
+    ``geometry_3d``): near-axisymmetric 3D force balance + stellarator
+    flux-surface metrics."""
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.models.equilibrium.force_balance_3d import (
+        ForceBalanceConfig,
+        Geometry3D,
+        solve_force_balance_3d,
+    )
+    from scpn_fusion_tpu.models.physics.stellarator import (
+        effective_ripple,
+        w7x_config,
+    )
+
+    g = Geometry3D(r_axis=args.r0, a_minor=args.a, kappa=args.kappa,
+                   triangularity=args.delta)
+    out = solve_force_balance_3d(g, ForceBalanceConfig(
+        max_iterations=args.iters))
+    eps_eff = effective_ripple(w7x_config(), jnp.asarray(0.5))
+    print(json.dumps({
+        "initial_residual": float(out.initial_residual),
+        "final_residual": float(out.residual),
+        "iterations": int(out.iterations),
+        "w7x_eps_eff_s0p5": float(eps_eff),
+    }))
+    return 0
+
+
+def _mode_neuro_control(args) -> int:
+    """Spiking neuro-cybernetic position control (reference CLI mode
+    "neuro-control")."""
+    import jax
+
+    from scpn_fusion_tpu.control.neuro_cybernetic import (
+        run_neuro_cybernetic_shot,
+    )
+
+    _, metrics = run_neuro_cybernetic_shot(
+        jax.random.PRNGKey(args.seed), n_ticks=args.steps)
+    print(json.dumps({k: float(v) for k, v in metrics.items()}))
+    return 0
+
+
+def _mode_neural(args) -> int:
+    """Neural surrogate artifact evaluation (reference CLI mode "neural",
+    ``neural_equilibrium``): loads the committed surrogate weights and
+    reports their pinned training metrics + a fresh forward check."""
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.models.surrogates.pretrained import (
+        load_transport_surrogate,
+    )
+
+    predict, metrics = load_transport_surrogate(args.name)
+    x = jnp.asarray(np.linspace(0.2, 0.8, 7)[None, :], jnp.float32)
+    y = np.asarray(predict(x))
+    print(json.dumps({
+        "artifact": args.name,
+        "forward_finite": bool(np.all(np.isfinite(y))),
+        "output_shape": list(y.shape),
+        **{k: v for k, v in metrics.items()
+           if isinstance(v, (int, float, str))},
+    }))
+    return 0
+
+
+def _mode_live_dashboard(args) -> int:
+    """Live mission-control dashboard server (reference CLI surface:
+    the Streamlit app ``ui/app.py``; here a dependency-free stdlib HTTP
+    server with a background compiled-solve worker)."""
+    from scpn_fusion_tpu.ui.live_server import serve_live_dashboard
+
+    cfg = None
+    if args.config:
+        from scpn_fusion_tpu.core.config import load_config
+
+        cfg = load_config(args.config)
+    serve_live_dashboard(host=args.host, port=args.port, cfg=cfg,
+                         period_s=args.period)
+    return 0
+
+
+def _mode_stellarator_replay(args) -> int:
+    """Stellarator control replay benchmark (reference CLI mode
+    "stellarator-control-replay-benchmark") — runs the campaign lane."""
+    import importlib.util
+
+    path = Path(__file__).resolve().parents[1] / "validation" / \
+        "run_stellarator_lane.py"
+    spec = importlib.util.spec_from_file_location("stellarator_lane", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return int(mod.main())
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="scpn-fusion-tpu",
@@ -612,6 +829,76 @@ def build_parser() -> argparse.ArgumentParser:
     dg = sub.add_parser("diagnostics", help="synthetic forward diagnostics")
     dg.add_argument("--n", type=int, default=65)
     dg.set_defaults(fn=_mode_diagnostics)
+
+    oc = sub.add_parser("optimal", help="optimal shot-trajectory search")
+    oc.add_argument("--p-aux", dest="p_aux", type=float, default=30.0)
+    oc.add_argument("--ne", type=float, default=8.0)
+    oc.add_argument("--ip", type=float, default=12.0)
+    oc.add_argument("--flux-vs", dest="flux_vs", type=float, default=280.0)
+    oc.add_argument("--r0", type=float, default=6.2)
+    oc.add_argument("--iters", type=int, default=40)
+    oc.set_defaults(fn=_mode_optimal)
+
+    lr = sub.add_parser("learning", help="SOC + soft-Q learning runtime")
+    lr.add_argument("--steps", type=int, default=2000)
+    lr.add_argument("--seed", type=int, default=0)
+    lr.set_defaults(fn=_mode_learning)
+
+    dt = sub.add_parser("digital-twin", help="reduced digital twin shot")
+    dt.add_argument("--n", type=int, default=32)
+    dt.add_argument("--steps", type=int, default=200)
+    dt.set_defaults(fn=_mode_digital_twin)
+
+    cr = sub.add_parser("control-room", help="control-room session")
+    cr.add_argument("--n", type=int, default=24)
+    cr.add_argument("--steps", type=int, default=200)
+    cr.add_argument("--seed", type=int, default=42)
+    cr.add_argument("--report", default=None)
+    cr.set_defaults(fn=_mode_control_room)
+
+    sp = sub.add_parser("sandpile", help="SOC sandpile reactor")
+    sp.add_argument("--n", type=int, default=64)
+    sp.add_argument("--steps", type=int, default=2000)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=_mode_sandpile)
+
+    nu = sub.add_parser("nuclear", help="plasma-wall interaction screen")
+    nu.add_argument("--material", default="Tungsten")
+    nu.add_argument("--flux", type=float, default=1e24)
+    nu.add_argument("--t-min", dest="t_min", type=float, default=5.0)
+    nu.add_argument("--t-max", dest="t_max", type=float, default=200.0)
+    nu.add_argument("--n", type=int, default=60)
+    nu.set_defaults(fn=_mode_nuclear)
+
+    ge = sub.add_parser("geometry", help="3D geometry / force balance")
+    ge.add_argument("--r0", type=float, default=6.2)
+    ge.add_argument("--a", type=float, default=2.0)
+    ge.add_argument("--kappa", type=float, default=1.6)
+    ge.add_argument("--delta", type=float, default=0.3)
+    ge.add_argument("--iters", type=int, default=20)
+    ge.set_defaults(fn=_mode_geometry)
+
+    nc = sub.add_parser("neuro-control", help="spiking neuro-cybernetic "
+                                             "position control")
+    nc.add_argument("--steps", type=int, default=200)
+    nc.add_argument("--seed", type=int, default=0)
+    nc.set_defaults(fn=_mode_neuro_control)
+
+    ne = sub.add_parser("neural", help="neural surrogate artifact eval")
+    ne.add_argument("--name", default="neural_transport")
+    ne.set_defaults(fn=_mode_neural)
+
+    sr = sub.add_parser("stellarator-replay",
+                        help="stellarator control replay benchmark lane")
+    sr.set_defaults(fn=_mode_stellarator_replay)
+
+    ld = sub.add_parser("live-dashboard",
+                        help="live mission-control dashboard HTTP server")
+    ld.add_argument("--host", default="127.0.0.1")
+    ld.add_argument("--port", type=int, default=8750)
+    ld.add_argument("--config", default=None)
+    ld.add_argument("--period", type=float, default=0.5)
+    ld.set_defaults(fn=_mode_live_dashboard)
 
     return p
 

@@ -1,0 +1,95 @@
+"""Live dashboard server (VERDICT r3 missing #8: live UI surface).
+
+Boots the worker + HTTP server on an ephemeral port, polls the API like a
+browser would, and checks the page, status JSON, and SVG flux rendering.
+"""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+
+from scpn_fusion_tpu.ui.live_server import (
+    LiveSolveWorker,
+    _psi_to_svg,
+    make_server,
+)
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                timeout=10) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+class TestLiveServer:
+    def test_endpoints_serve_live_state(self):
+        worker = LiveSolveWorker(period_s=0.05)
+        worker.start()
+        srv = make_server(worker, port=0)          # ephemeral port
+        import threading
+
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        port = srv.server_address[1]
+        try:
+            # wait for the first solve tick to publish
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                _, _, body = _get(port, "/api/status")
+                snap = json.loads(body)
+                if snap["tick"] >= 1 and snap["solver"]:
+                    break
+                time.sleep(0.3)
+            assert snap["solver"]["converged"] is True
+            assert snap["history"], "history must accumulate"
+
+            status, ctype, page = _get(port, "/")
+            assert status == 200 and "text/html" in ctype
+            assert b"/api/status" in page
+
+            status, ctype, svg = _get(port, "/api/psi.svg")
+            assert status == 200 and "svg" in ctype
+            assert svg.startswith(b"<svg") and b"rect" in svg
+
+            status = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/status").status
+            assert status == 200
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            worker.stop()
+            # join before interpreter teardown: a daemon thread mid-solve
+            # at exit aborts inside the XLA runtime
+            worker.join(timeout=60)
+            assert not worker.is_alive()
+
+    def test_404(self):
+        worker = LiveSolveWorker()
+        srv = make_server(worker, port=0)
+        import threading
+
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            try:
+                _get(srv.server_address[1], "/nope")
+                raised = False
+            except urllib.error.HTTPError as e:
+                raised = e.code == 404
+            assert raised
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+
+class TestSvgRender:
+    def test_svg_shapes_and_range(self):
+        rng = np.random.default_rng(0)
+        svg = _psi_to_svg(rng.standard_normal((65, 65)))
+        assert svg.startswith("<svg") and svg.endswith("</svg>")
+        assert svg.count("<rect") >= 32 * 32
+
+    def test_constant_field_does_not_divide_by_zero(self):
+        svg = _psi_to_svg(np.ones((16, 16)))
+        assert "<rect" in svg
