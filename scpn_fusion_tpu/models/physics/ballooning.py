@@ -341,3 +341,50 @@ def miller_marginal_alpha(
     i_first = jnp.argmax(unstable)
     return jnp.where(any_u, alphas[i_first], jnp.asarray(alpha_hi,
                                                          alphas.dtype))
+
+
+class BootstrapPathResult(NamedTuple):
+    """Marginal alpha along the bootstrap-consistent (s_eff, alpha) path.
+
+    alpha_crit : last stable alpha along the path before the first
+        unstable point (``alpha_hi`` when the whole path is stable).
+    second_access : the path dodges the unstable band entirely — the
+        pedestal reaches second stability and alpha is NOT
+        ballooning-limited (a peeling/current limit must take over).
+    """
+
+    alpha_crit: jnp.ndarray
+    second_access: jnp.ndarray
+
+
+def bootstrap_path_alpha_crit(
+    s0: float,
+    c_bs: float,
+    *,
+    alpha_hi: float = 16.0,
+    n_grid: int = 65,
+    **geometry,
+) -> BootstrapPathResult:
+    """Ballooning-critical alpha with self-consistent bootstrap shear.
+
+    The pedestal's pressure gradient drives bootstrap current, which
+    lowers the local magnetic shear: ``s_eff(alpha) = s0 - c_bs alpha``.
+    As alpha builds from 0 the operating point traces this path through
+    the shaped (Miller) stability diagram; the marginal alpha is the last
+    stable point on the path.  With strong bootstrap the path drops below
+    the band's nose before reaching it — genuine second-stability access,
+    the mechanism EPED's KBM tier relies on and the reference records as
+    its unimplemented blocker (``benchmark_eped_pedestal_tiers.py:55-58``).
+    One vmapped stability evaluation along the path (static shapes).
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    alphas = jnp.linspace(0.0, alpha_hi, n_grid, dtype=dtype)
+    s_eff = jnp.asarray(s0, dtype) - jnp.asarray(c_bs, dtype) * alphas
+    stable = miller_ballooning_stable(s_eff, alphas, **geometry)
+    unstable = ~stable
+    any_u = jnp.any(unstable)
+    i_first = jnp.argmax(unstable)
+    alpha_crit = jnp.where(
+        any_u, alphas[jnp.maximum(i_first - 1, 0)],
+        jnp.asarray(alpha_hi, dtype))
+    return BootstrapPathResult(alpha_crit=alpha_crit, second_access=~any_u)

@@ -146,3 +146,52 @@ class TestMillerBallooning:
         b_circ = band(0.0, 1.0)
         assert b_nt is not None and b_circ is not None
         assert b_nt[1] > b_circ[1]             # NT: band extends higher
+
+
+class TestBootstrapPath:
+    """Bootstrap-consistent shear path (VERDICT r3 stretch #10)."""
+
+    DIIID = dict(r0=1.67, a=0.67, rho=0.95, kappa=1.74, delta=0.3, q=5.7)
+
+    def test_strong_bootstrap_dodges_band(self):
+        from scpn_fusion_tpu.models.physics.ballooning import (
+            bootstrap_path_alpha_crit)
+        res = bootstrap_path_alpha_crit(2.04, 3.0, alpha_hi=16.0,
+                                        n_steps=2000, **self.DIIID)
+        assert bool(res.second_access)
+        assert float(res.alpha_crit) == 16.0
+
+    def test_weak_bootstrap_hits_band_nose(self):
+        from scpn_fusion_tpu.models.physics.ballooning import (
+            bootstrap_path_alpha_crit)
+        res = bootstrap_path_alpha_crit(2.04, 1.5, alpha_hi=16.0,
+                                        n_steps=2000, **self.DIIID)
+        assert not bool(res.second_access)
+        assert 0.0 < float(res.alpha_crit) < 2.0
+
+    def test_zero_bootstrap_matches_fixed_shear_boundary(self):
+        from scpn_fusion_tpu.models.physics.ballooning import (
+            bootstrap_path_alpha_crit, miller_marginal_alpha)
+        res = bootstrap_path_alpha_crit(2.04, 0.0, alpha_hi=8.0, n_grid=65,
+                                        n_steps=2000, **self.DIIID)
+        fixed = float(miller_marginal_alpha(2.04, alpha_hi=8.0, n_grid=65,
+                                            n_steps=2000, **self.DIIID))
+        # Path boundary is one grid point BELOW the first unstable alpha.
+        assert abs(float(res.alpha_crit) - (fixed - 8.0 / 64.0)) < 1e-9
+
+
+def test_eped_shaped_tier_lifts_diiid_floor():
+    """The shaped+bootstrap tier must NOT sit at the 0.1 keV floor where
+    the s-alpha tier collapses (DIII-D slide inputs, ip=1.0 MA)."""
+    from scpn_fusion_tpu.models.physics.edge import (
+        eped_pedestal, eped_pedestal_shaped)
+    salpha = eped_pedestal(n_ped_1e19=6.0, r0=1.67, a=0.67, b0=2.1,
+                           ip_ma=1.0, kappa=1.74)
+    assert float(salpha.t_ped_kev) <= 0.1 + 1e-9      # the documented collapse
+    shaped = eped_pedestal_shaped(n_ped_1e19=6.0, r0=1.67, a=0.67, b0=2.1,
+                                  ip_ma=1.0, kappa=1.74)
+    assert bool(shaped.second_access)
+    assert float(shaped.pedestal.t_ped_kev) > 0.3      # well off the floor
+    # Within the documented band of the EPED1 13.0 kPa point (lane 4 of
+    # run_eped_tiers.py gates all three Ip cases at [1/3, 3]).
+    assert 13.0 / 3.0 < float(shaped.pedestal.p_ped_kpa) < 13.0 * 3.0
