@@ -140,6 +140,21 @@ def _vcycle_impl(
         return smooth(psi, source, r_1d, d_r, d_z, omega, coarse_sweeps,
                       use_pallas)
 
+    # Fused tail: on TPU the remaining sub-cycle from a <=257^2 level runs
+    # as ONE Pallas kernel (embedded-stride levels, ``ops/pallas_mg.py``) —
+    # the coarse XLA ladder is per-op dispatch overhead, ~0.38 ms of the
+    # headline V-cycle's 0.40 ms.  Numerics identical (parity pinned by
+    # test_pallas_mg.py); falls through to the recursion off-TPU or on
+    # non-square / non-2^k+1 grids.
+    if (use_pallas and nz == nr and nz <= 257
+            and ((nz - 1) & (nz - 2)) == 0):
+        from scpn_fusion_tpu.ops.pallas_mg import fused_coarse_vcycle
+        return fused_coarse_vcycle(
+            psi, source, r_1d, d_r, d_z, omega,
+            pre_smooth=pre_smooth, post_smooth=post_smooth,
+            min_grid=min_grid, coarse_sweeps=coarse_sweeps,
+            interpret=False)
+
     psi = smooth(psi, source, r_1d, d_r, d_z, omega, pre_smooth, use_pallas)
 
     # Coarse-grid RHS: r = source - L[psi]  (the error equation L[e] = r).
