@@ -40,6 +40,15 @@ from scpn_fusion_tpu.control.federated import (  # noqa: F401
     predict_disruption_risk,
     train_federated,
 )
+from scpn_fusion_tpu.control.disruption_seq import (  # noqa: F401
+    SeqPredictorParams,
+    generate_hard_cohort,
+    init_seq_predictor,
+    seq_logits,
+    seq_risk,
+    shot_scores,
+    train_seq_predictor,
+)
 from scpn_fusion_tpu.control.realtime_efit import (  # noqa: F401
     EFITModel,
     MagneticsLayout,
