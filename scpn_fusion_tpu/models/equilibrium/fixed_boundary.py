@@ -177,6 +177,9 @@ def solve_fixed_boundary_impl(
     elliptic_fn=None,
     skip_seed: bool = False,
     anderson_gram_f32: bool = False,
+    mg_pre_smooth: int = 3,
+    mg_post_smooth: int = 3,
+    mg_min_grid: int = 5,
 ) -> EquilibriumResult:
     r_1d = grid.R
     rr = grid.RR
@@ -219,7 +222,8 @@ def solve_fixed_boundary_impl(
                 out = jacobi_step(out, source, r_1d, d_r, d_z)
         elif solver_method in ("multigrid", "anderson_mg"):
             out = _vcycle_impl(psi_in, source, r_1d, d_r, d_z,
-                               1.0, 3, 3, 5, 50, use_pallas)
+                               1.0, mg_pre_smooth, mg_post_smooth,
+                               mg_min_grid, 50, use_pallas)
         else:  # "sor" | "anderson"
             if use_pallas:
                 from scpn_fusion_tpu.ops.pallas_stencil import sor_sweeps_pallas
@@ -231,14 +235,36 @@ def solve_fixed_boundary_impl(
                     out = sor_step(out, source, r_1d, d_r, d_z, omega)
         return apply_dirichlet(out, psi_bc)
 
-    def body(c: _Carry) -> _Carry:
-        topo = analyze_topology(c.psi, zz, d_r, d_z, grid.Z_min)
+    # Loop-invariant divertor mask for the fused topology+source kernel
+    # (computed from the true ZZ grid so the X-point search region is
+    # ulp-identical to ``analyze_topology``'s).
+    divertor_mask = (zz < (grid.Z_min * 0.5)).astype(dtype)
+
+    def picard_source(psi_k: jnp.ndarray) -> jnp.ndarray:
+        """Topology + Ip-renormalised current source for one iteration.
+
+        On the Pallas path the whole chain (axis max, divertor X-point
+        search, profiles, Ip normalisation) runs as ONE VMEM-resident
+        kernel (``ops/pallas_source.py``) — as separate XLA ops it was
+        ~0.23 ms of the ~0.55 ms outer iteration at 513².
+        """
+        if use_pallas:
+            from scpn_fusion_tpu.ops.pallas_source import (
+                fused_topology_source,
+            )
+            return fused_topology_source(
+                psi_k, r_1d, divertor_mask, p_coeffs, ff_coeffs, i_target,
+                d_r=d_r, d_z=d_z, mu0=mu0, h_mode=h_mode, interpret=False)
+        topo = analyze_topology(psi_k, zz, d_r, d_z, grid.Z_min)
         j_phi = plasma_current_density(
-            c.psi, topo.psi_axis, topo.psi_boundary, rr,
+            psi_k, topo.psi_axis, topo.psi_boundary, rr,
             h_mode=h_mode, p_coeffs=p_coeffs, ff_coeffs=ff_coeffs,
             mu0=mu0, i_target=i_target, d_r=d_r, d_z=d_z,
         )
-        source = -mu0 * rr * j_phi
+        return -mu0 * rr * j_phi
+
+    def body(c: _Carry) -> _Carry:
+        source = picard_source(c.psi)
         psi_new = elliptic_step(c.psi, source)
 
         diff = jnp.mean(jnp.abs(psi_new - c.psi))
@@ -372,7 +398,8 @@ _solve_fixed_boundary = partial(
     static_argnames=("grid", "solver_method", "max_iter", "h_mode",
                      "inner_sweeps", "anderson_m", "mu0", "use_gs_criterion",
                      "use_pallas", "elliptic_fn", "skip_seed",
-                     "anderson_gram_f32"),
+                     "anderson_gram_f32", "mg_pre_smooth", "mg_post_smooth",
+                     "mg_min_grid"),
 )(solve_fixed_boundary_impl)
 
 
@@ -466,6 +493,9 @@ def solve_equilibrium(
         use_pallas=(sol.use_pallas and jax.default_backend() == "tpu"
                     and jnp.dtype(dtype) == jnp.float32),
         skip_seed=skip_seed,
+        mg_pre_smooth=sol.mg_pre_smooth,
+        mg_post_smooth=sol.mg_post_smooth,
+        mg_min_grid=sol.mg_min_grid,
     )
 
 

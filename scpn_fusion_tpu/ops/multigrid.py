@@ -155,6 +155,29 @@ def _vcycle_impl(
             min_grid=min_grid, coarse_sweeps=coarse_sweeps,
             interpret=False)
 
+    # Fine-level wrap: levels above the fused-tail VMEM cap (513²) fuse
+    # their smoothing + transfer legs into two Pallas kernels each
+    # (``ops/pallas_mg.py:fine_presmooth_restrict`` / ``fine_prolong_smooth``)
+    # — the XLA residual/restrict/prolong ops were ~0.22 ms of the ~0.28 ms
+    # 513² V-cycle.  Same numerics as the unfused path below (parity pinned
+    # by test_pallas_mg.py).
+    if (use_pallas and nz == nr and 257 < nz <= 513
+            and ((nz - 1) & (nz - 2)) == 0):
+        from scpn_fusion_tpu.ops.pallas_mg import (
+            fine_presmooth_restrict, fine_prolong_smooth,
+        )
+        psi_s, d_coarse = fine_presmooth_restrict(
+            psi, source, r_1d, d_r, d_z, omega,
+            pre_smooth=pre_smooth, interpret=False)
+        e_coarse = _vcycle_impl(
+            jnp.zeros_like(d_coarse), d_coarse, r_1d[::2],
+            d_r * 2.0, d_z * 2.0, omega, pre_smooth, post_smooth,
+            min_grid, coarse_sweeps, use_pallas,
+        )
+        return fine_prolong_smooth(
+            psi_s, source, e_coarse, r_1d, d_r, d_z, omega,
+            post_smooth=post_smooth, interpret=False)
+
     psi = smooth(psi, source, r_1d, d_r, d_z, omega, pre_smooth, use_pallas)
 
     # Coarse-grid RHS: r = source - L[psi]  (the error equation L[e] = r).

@@ -209,3 +209,220 @@ def fused_coarse_vcycle(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(psi, source, ae, aw, omega_arr)
+
+
+# ── Fine-level wrap kernels (entry levels too large for the fused tail) ──
+#
+# At 513² the level arrays no longer all fit in VMEM together (the embedded
+# representation keeps every saved level at full entry size), so the fused
+# tail is capped at 257².  The remaining fine-level cost is NOT the
+# smoothing (the ``sor_sweeps_pallas`` sweeps are ~20 µs) but the XLA
+# transfer ladder: residual + full-weighting restriction + bilinear
+# prolongation measure ~0.22 ms of the ~0.28 ms 513² V-cycle (on-chip slope,
+# 2026-08-18).  These two kernels fuse that ladder into the smoothing
+# dispatches, so a 513² V-cycle is 3 Pallas calls (pre+restrict, fused
+# 257-tail, prolong+post) plus two cheap XLA pad/reshape compaction passes.
+#
+# Numerics match ``ops.multigrid._vcycle_impl``'s unfused fine level (same
+# masks, coefficients, stencils; parity pinned by tests/test_pallas_mg.py).
+
+
+def _fine_masks(nz: int, nr: int, dtype):
+    iz = jax.lax.broadcasted_iota(jnp.int32, (nz, nr), 0)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (nz, nr), 1)
+    interior = ((iz >= 1) & (iz <= nz - 2) & (ir >= 1) & (ir <= nr - 2))
+    parity = (iz + ir) % 2
+    red = jnp.where(interior & (parity == 0), 1.0, 0.0).astype(dtype)
+    black = jnp.where(interior & (parity == 1), 1.0, 0.0).astype(dtype)
+    return interior, red, black
+
+
+def _nbr1(p, nz, nr):
+    return (pltpu.roll(p, nr - 1, 1), pltpu.roll(p, 1, 1),
+            pltpu.roll(p, nz - 1, 0), pltpu.roll(p, 1, 0))
+
+
+def _conv9_1(d, nz, nr, w_c, w_edge, w_diag):
+    d_e, d_w, d_n, d_s = _nbr1(d, nz, nr)
+    d_ne = pltpu.roll(d_n, nr - 1, 1)
+    d_nw = pltpu.roll(d_n, 1, 1)
+    d_se = pltpu.roll(d_s, nr - 1, 1)
+    d_sw = pltpu.roll(d_s, 1, 1)
+    return (w_c * d + w_edge * (d_e + d_w + d_n + d_s)
+            + w_diag * (d_ne + d_nw + d_se + d_sw))
+
+
+def _rb_smooth(p, src, a_e, a_w, omega, red, black, nz, nr,
+               a_ns: float, a_c: float, n_sweeps: int):
+    inv_ac = 1.0 / a_c
+
+    def half(q, mask):
+        q_e, q_w, q_n, q_s = _nbr1(q, nz, nr)
+        gs = (a_e * q_e + a_w * q_w + a_ns * (q_n + q_s) - src) * inv_ac
+        return q + (mask * omega) * (gs - q)
+
+    def sweep(_, q):
+        return half(half(q, red), black)
+
+    return jax.lax.fori_loop(0, n_sweeps, sweep, p)
+
+
+def _fine_pre_kernel(psi_ref, src_ref, ae_ref, aw_ref, omega_ref,
+                     psi_out_ref, w_out_ref, *, nz: int, nr: int,
+                     a_ns: float, a_c: float, pre: int):
+    """Pre-smooth + defect + 9-point full-weighting, one kernel.
+
+    ``w_out`` holds the full-weighted defect still at FINE resolution; the
+    caller compacts it onto the coarse lattice with a pad/reshape (strided
+    slicing is pathological on TPU — see ``multigrid._downsample_even``).
+    """
+    psi = psi_ref[:]
+    src = src_ref[:]
+    a_e = ae_ref[0, :][None, :]
+    a_w = aw_ref[0, :][None, :]
+    omega = omega_ref[0, 0]
+    interior, red, black = _fine_masks(nz, nr, psi.dtype)
+
+    p = _rb_smooth(psi, src, a_e, a_w, omega, red, black, nz, nr,
+                   a_ns, a_c, pre)
+
+    p_e, p_w, p_n, p_s = _nbr1(p, nz, nr)
+    lap = a_e * p_e + a_w * p_w + a_ns * (p_n + p_s) - a_c * p
+    defect = jnp.where(interior, src - lap, jnp.zeros_like(p))
+    psi_out_ref[:] = p
+    w_out_ref[:] = _conv9_1(defect, nz, nr, 4.0 / 16.0, 2.0 / 16.0, 1.0 / 16.0)
+
+
+def _fine_post_kernel(psi_ref, src_ref, e_ref, ae_ref, aw_ref, omega_ref,
+                      out_ref, *, nz: int, nr: int,
+                      a_ns: float, a_c: float, post: int):
+    """Bilinear prolongation of the embedded coarse error + correction +
+    post-smooth, one kernel.  ``e_ref`` is the coarse error embedded at
+    stride 2 in a fine-size array (zeros elsewhere)."""
+    psi = psi_ref[:]
+    src = src_ref[:]
+    e = e_ref[:]
+    a_e = ae_ref[0, :][None, :]
+    a_w = aw_ref[0, :][None, :]
+    omega = omega_ref[0, 0]
+    interior, red, black = _fine_masks(nz, nr, psi.dtype)
+
+    corr = _conv9_1(e, nz, nr, 1.0, 0.5, 0.25)
+    p = psi + jnp.where(interior, corr, jnp.zeros_like(psi))
+    out_ref[:] = _rb_smooth(p, src, a_e, a_w, omega, red, black, nz, nr,
+                            a_ns, a_c, post)
+
+
+def _fine_coeff_rows(r_1d, d_r: float, d_z: float, dtype):
+    r_safe = jnp.maximum(r_1d.astype(dtype), 1e-10)
+    inv_dr2 = 1.0 / (d_r * d_r)
+    ae = (inv_dr2 - 1.0 / (2.0 * r_safe * d_r))[None, :]
+    aw = (inv_dr2 + 1.0 / (2.0 * r_safe * d_r))[None, :]
+    a_ns = 1.0 / (d_z * d_z)
+    a_c = 2.0 * inv_dr2 + 2.0 / (d_z * d_z)
+    return ae, aw, float(a_ns), float(a_c)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d_r", "d_z", "pre_smooth", "interpret"))
+def fine_presmooth_restrict(
+    psi: jnp.ndarray,
+    source: jnp.ndarray,
+    r_1d: jnp.ndarray,
+    d_r: float,
+    d_z: float,
+    omega,
+    *,
+    pre_smooth: int = 3,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused fine-level down-leg: returns ``(psi_smoothed, d_coarse)``.
+
+    Equivalent to ``smooth(pre) -> gs_residual -> restrict_full_weight``
+    in ``multigrid._vcycle_impl`` (reference ladder
+    ``multigrid_solve.py:57-335``), with the coarse boundary ring zero
+    (the restricted defect is zero there).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    nz, nr = psi.shape
+    nz_c, nr_c = (nz + 1) // 2, (nr + 1) // 2
+    ae, aw, a_ns, a_c = _fine_coeff_rows(r_1d, d_r, d_z, psi.dtype)
+    omega_arr = jnp.asarray(omega, psi.dtype).reshape(1, 1)
+
+    kernel = functools.partial(
+        _fine_pre_kernel, nz=nz, nr=nr, a_ns=a_ns, a_c=a_c, pre=pre_smooth)
+    psi_s, w = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(psi.shape, psi.dtype),
+                   jax.ShapeDtypeStruct(psi.shape, psi.dtype)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(psi, source, ae, aw, omega_arr)
+
+    from scpn_fusion_tpu.ops.multigrid import _downsample_even
+    d_c = _downsample_even(w, nz_c, nr_c)
+    # Boundary ring: the restricted defect is exactly zero there (the
+    # kernel's wrap-around rolls pollute only the ring).
+    iz = jax.lax.broadcasted_iota(jnp.int32, (nz_c, nr_c), 0)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (nz_c, nr_c), 1)
+    ring = (iz == 0) | (iz == nz_c - 1) | (ir == 0) | (ir == nr_c - 1)
+    d_c = jnp.where(ring, jnp.zeros_like(d_c), d_c)
+    return psi_s, d_c
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d_r", "d_z", "post_smooth", "interpret"))
+def fine_prolong_smooth(
+    psi_s: jnp.ndarray,
+    source: jnp.ndarray,
+    e_coarse: jnp.ndarray,
+    r_1d: jnp.ndarray,
+    d_r: float,
+    d_z: float,
+    omega,
+    *,
+    post_smooth: int = 3,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused fine-level up-leg: bilinear prolongation + correction +
+    post-smooth.  Equivalent to ``psi + prolongate_bilinear(e) -> smooth``.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    nz, nr = psi_s.shape
+    ae, aw, a_ns, a_c = _fine_coeff_rows(r_1d, d_r, d_z, psi_s.dtype)
+    omega_arr = jnp.asarray(omega, psi_s.dtype).reshape(1, 1)
+
+    # Embed the coarse error at stride 2 (zeros on the three odd phases) via
+    # the interleave trick — no strided scatter.
+    zeros_c = jnp.zeros_like(e_coarse)
+    row0 = jnp.stack([e_coarse, zeros_c], axis=-1)       # (nc, nc, 2)
+    row1 = jnp.stack([zeros_c, zeros_c], axis=-1)
+    t = jnp.stack([row0, row1], axis=1)                  # (nc, 2, nc, 2)
+    e_emb = t.reshape(2 * e_coarse.shape[0], 2 * e_coarse.shape[1])[:nz, :nr]
+
+    kernel = functools.partial(
+        _fine_post_kernel, nz=nz, nr=nr, a_ns=a_ns, a_c=a_c, post=post_smooth)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(psi_s.shape, psi_s.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(psi_s, source, e_emb, ae, aw, omega_arr)
