@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scpn_fusion_tpu.ops.pallas_stencil import _on_tpu
+from scpn_fusion_tpu.ops.pallas_stencil import _on_tpu, roll32, x64_safe
 
 
 def _level_plan(n: int, min_grid: int) -> list[int]:
@@ -48,6 +48,7 @@ def _level_plan(n: int, min_grid: int) -> list[int]:
     return ns
 
 
+@x64_safe
 def _fused_vcycle_kernel(psi_ref, src_ref, ae_ref, aw_ref, omega_ref,
                          out_ref, *, nz: int, nr: int, n_levels: int,
                          a_ns: tuple, a_c: tuple, pre: int, post: int,
@@ -66,14 +67,14 @@ def _fused_vcycle_kernel(psi_ref, src_ref, ae_ref, aw_ref, omega_ref,
     def rb_masks(h, dtype):
         interior = interior_mask(h)
         par = ((iz // h) + (ir // h)) % 2   # level-LOCAL checkerboard
-        red = jnp.where(interior & (par == 0), 1.0, 0.0).astype(dtype)
-        black = jnp.where(interior & (par == 1), 1.0, 0.0).astype(dtype)
+        red = (interior & (par == 0)).astype(dtype)
+        black = (interior & (par == 1)).astype(dtype)
         return interior, red, black
 
     def nbr(p, h):
         """(east, west, north, south) at level stride h via rolls."""
-        return (pltpu.roll(p, nr - h, 1), pltpu.roll(p, h, 1),
-                pltpu.roll(p, nz - h, 0), pltpu.roll(p, h, 0))
+        return (roll32(p, nr - h, 1), roll32(p, h, 1),
+                roll32(p, nz - h, 0), roll32(p, h, 0))
 
     def smooth(p, s, k, h, n_sweeps, red, black):
         a_e = ae_ref[k, :][None, :]
@@ -93,10 +94,10 @@ def _fused_vcycle_kernel(psi_ref, src_ref, ae_ref, aw_ref, omega_ref,
     def conv9(d, h, w_c, w_edge, w_diag):
         """w_c*d + w_edge*(4 edge rolls) + w_diag*(4 diagonal rolls)."""
         d_e, d_w, d_n, d_s = nbr(d, h)
-        d_ne = pltpu.roll(d_n, nr - h, 1)
-        d_nw = pltpu.roll(d_n, h, 1)
-        d_se = pltpu.roll(d_s, nr - h, 1)
-        d_sw = pltpu.roll(d_s, h, 1)
+        d_ne = roll32(d_n, nr - h, 1)
+        d_nw = roll32(d_n, h, 1)
+        d_se = roll32(d_s, nr - h, 1)
+        d_sw = roll32(d_s, h, 1)
         return (w_c * d + w_edge * (d_e + d_w + d_n + d_s)
                 + w_diag * (d_ne + d_nw + d_se + d_sw))
 
@@ -232,22 +233,22 @@ def _fine_masks(nz: int, nr: int, dtype):
     ir = jax.lax.broadcasted_iota(jnp.int32, (nz, nr), 1)
     interior = ((iz >= 1) & (iz <= nz - 2) & (ir >= 1) & (ir <= nr - 2))
     parity = (iz + ir) % 2
-    red = jnp.where(interior & (parity == 0), 1.0, 0.0).astype(dtype)
-    black = jnp.where(interior & (parity == 1), 1.0, 0.0).astype(dtype)
+    red = (interior & (parity == 0)).astype(dtype)
+    black = (interior & (parity == 1)).astype(dtype)
     return interior, red, black
 
 
 def _nbr1(p, nz, nr):
-    return (pltpu.roll(p, nr - 1, 1), pltpu.roll(p, 1, 1),
-            pltpu.roll(p, nz - 1, 0), pltpu.roll(p, 1, 0))
+    return (roll32(p, nr - 1, 1), roll32(p, 1, 1),
+            roll32(p, nz - 1, 0), roll32(p, 1, 0))
 
 
 def _conv9_1(d, nz, nr, w_c, w_edge, w_diag):
     d_e, d_w, d_n, d_s = _nbr1(d, nz, nr)
-    d_ne = pltpu.roll(d_n, nr - 1, 1)
-    d_nw = pltpu.roll(d_n, 1, 1)
-    d_se = pltpu.roll(d_s, nr - 1, 1)
-    d_sw = pltpu.roll(d_s, 1, 1)
+    d_ne = roll32(d_n, nr - 1, 1)
+    d_nw = roll32(d_n, 1, 1)
+    d_se = roll32(d_s, nr - 1, 1)
+    d_sw = roll32(d_s, 1, 1)
     return (w_c * d + w_edge * (d_e + d_w + d_n + d_s)
             + w_diag * (d_ne + d_nw + d_se + d_sw))
 
@@ -267,6 +268,7 @@ def _rb_smooth(p, src, a_e, a_w, omega, red, black, nz, nr,
     return jax.lax.fori_loop(0, n_sweeps, sweep, p)
 
 
+@x64_safe
 def _fine_pre_kernel(psi_ref, src_ref, ae_ref, aw_ref, omega_ref,
                      psi_out_ref, w_out_ref, *, nz: int, nr: int,
                      a_ns: float, a_c: float, pre: int):
@@ -293,6 +295,7 @@ def _fine_pre_kernel(psi_ref, src_ref, ae_ref, aw_ref, omega_ref,
     w_out_ref[:] = _conv9_1(defect, nz, nr, 4.0 / 16.0, 2.0 / 16.0, 1.0 / 16.0)
 
 
+@x64_safe
 def _fine_post_kernel(psi_ref, src_ref, e_ref, ae_ref, aw_ref, omega_ref,
                       out_ref, *, nz: int, nr: int,
                       a_ns: float, a_c: float, post: int):

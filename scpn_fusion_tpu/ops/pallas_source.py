@@ -38,15 +38,15 @@ from scpn_fusion_tpu.models.equilibrium.profiles import (
     ProfileCoeffs,
     plasma_current_density,
 )
-from scpn_fusion_tpu.ops.pallas_stencil import _on_tpu
+from scpn_fusion_tpu.ops.pallas_stencil import _on_tpu, roll32, x64_safe
 
 
 def _gradient_axis(p: jnp.ndarray, h: float, axis: int) -> jnp.ndarray:
     """``jnp.gradient`` semantics via rolls: central interior, one-sided
     edges (wrap rows from the rolls are overwritten by the edge cases)."""
     n = p.shape[axis]
-    fwd = pltpu.roll(p, n - 1, axis)   # p[i+1] (wraps at i = n-1)
-    bwd = pltpu.roll(p, 1, axis)       # p[i-1] (wraps at i = 0)
+    fwd = roll32(p, n - 1, axis)   # p[i+1] (wraps at i = n-1)
+    bwd = roll32(p, 1, axis)       # p[i-1] (wraps at i = 0)
     i = jax.lax.broadcasted_iota(jnp.int32, p.shape, axis)
     central = (fwd - bwd) / (2.0 * h)
     lo = (fwd - p) / h
@@ -54,6 +54,7 @@ def _gradient_axis(p: jnp.ndarray, h: float, axis: int) -> jnp.ndarray:
     return jnp.where(i == 0, lo, jnp.where(i == n - 1, hi, central))
 
 
+@x64_safe
 def _fused_source_kernel(psi_ref, r_ref, mask_ref, par_ref, src_ref, *,
                          nz: int, nr: int, d_r: float, d_z: float,
                          mu0: float, h_mode: bool):
@@ -76,7 +77,10 @@ def _fused_source_kernel(psi_ref, r_ref, mask_ref, par_ref, src_ref, *,
     b_min = jnp.min(masked_b)
     # Flux at the minimum site (min over ties; see module docstring).
     psi_x = jnp.min(jnp.where(masked_b == b_min, psi, inf))
-    psi_b = jnp.where(jnp.any(mask), psi_x, jnp.min(psi))
+    # ``any(mask)`` is hoisted out of the kernel (par slot 9): a bool
+    # reduction lowers through an f64 squeeze under jax_enable_x64, which
+    # Mosaic rejects; the mask is loop-invariant anyway.
+    psi_b = jnp.where(par_ref[0, 9] > 0.5, psi_x, jnp.min(psi))
 
     # Degeneracy guard (reference fusion_kernel_newton_solver.py:505-506).
     psi_b = jnp.where(jnp.abs(psi_axis - psi_b) < 0.1, psi_axis * 0.1, psi_b)
@@ -128,6 +132,7 @@ def fused_topology_source(
         p_coeffs.core_alpha, ff_coeffs.ped_top, ff_coeffs.ped_width,
         ff_coeffs.ped_height, ff_coeffs.core_alpha,
         jnp.asarray(i_target, psi.dtype),
+        jnp.any(divertor_mask > 0).astype(psi.dtype),
     ]).astype(psi.dtype)[None, :]
 
     kernel = functools.partial(

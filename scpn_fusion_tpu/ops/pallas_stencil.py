@@ -33,6 +33,37 @@ def _on_tpu() -> bool:
         return False
 
 
+def x64_safe(kernel_fn):
+    """Trace a Pallas kernel body with x64 disabled.
+
+    These kernels are f32/i32 by construction (TPU Pallas has no f64
+    path), but when the HOST program runs under ``jax_enable_x64`` —
+    e.g. the mixed-precision solve driving f32 coarse levels from an f64
+    master loop — Python int/float literals inside the kernel trace as
+    weak-i64/f64 constants, and Mosaic cannot lower the resulting
+    64->32-bit demotion converts (its ``_convert_helper`` recurses).
+    Tracing the body under ``jax.enable_x64(False)`` keeps literals
+    32-bit; ref dtypes are unaffected.
+    """
+    @functools.wraps(kernel_fn)
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(False):
+            return kernel_fn(*args, **kwargs)
+    return wrapped
+
+
+def roll32(x, shift, axis: int):
+    """``pltpu.roll`` with the shift pinned to i32.
+
+    The shift is always bound as a dynamic operand; under ``jax_enable_x64``
+    a Python-int shift traces as i64, which Mosaic's ``tpu.dynamic_rotate``
+    rejects.  Pinning to i32 is semantics- and performance-neutral (grid
+    extents are far below 2^31).
+    """
+    return pltpu.roll(x, jnp.asarray(shift, jnp.int32), axis)
+
+
+@x64_safe
 def _sor_kernel(psi_ref, src_ref, ae_ref, aw_ref, omega_ref, out_ref,
                 *, n_sweeps: int, a_ns: float, a_c: float):
     """n_sweeps red-black sweeps entirely in VMEM.
@@ -54,17 +85,17 @@ def _sor_kernel(psi_ref, src_ref, ae_ref, aw_ref, omega_ref, out_ref,
     ir = jax.lax.broadcasted_iota(jnp.int32, (nz, nr), 1)
     interior = ((iz >= 1) & (iz <= nz - 2) & (ir >= 1) & (ir <= nr - 2))
     parity = (iz + ir) % 2
-    red = jnp.where(interior & (parity == 0), 1.0, 0.0).astype(psi.dtype)
-    black = jnp.where(interior & (parity == 1), 1.0, 0.0).astype(psi.dtype)
+    red = (interior & (parity == 0)).astype(psi.dtype)
+    black = (interior & (parity == 1)).astype(psi.dtype)
 
     inv_ac = 1.0 / a_c
 
     def half(p, mask):
         # pltpu.roll requires non-negative shifts: roll by n-1 == roll by -1.
-        p_e = pltpu.roll(p, nr - 1, 1)   # east neighbour  (R+)
-        p_w = pltpu.roll(p, 1, 1)        # west neighbour  (R-)
-        p_n = pltpu.roll(p, nz - 1, 0)   # north (Z+)
-        p_s = pltpu.roll(p, 1, 0)        # south (Z-)
+        p_e = roll32(p, nr - 1, 1)   # east neighbour  (R+)
+        p_w = roll32(p, 1, 1)        # west neighbour  (R-)
+        p_n = roll32(p, nz - 1, 0)   # north (Z+)
+        p_s = roll32(p, 1, 0)        # south (Z-)
         gs = (a_e * p_e + a_w * p_w + a_ns * (p_n + p_s) - src) * inv_ac
         return p + (mask * omega) * (gs - p)
 

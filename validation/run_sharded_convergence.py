@@ -199,6 +199,56 @@ def main() -> int:
               "(coarse levels at 1e-3, fine at the configured tol): the "
               "distributed counterpart of the bench FMG cascade"))
 
+    # ── Lane 5: convergent 2D-tile distributed solve (VERDICT r3 next #3) ──
+    # The full nonlinear equilibrium with the elliptic inner solve 2D-tiled
+    # (reference CartesianTile decomposition, ``mpi_domain.rs:380-739``,
+    # ``distributed_gs_solve`` :804, ``optimal_process_grid`` :1009), gated
+    # on shard-GRID invariance: 1x8 == 2x4 == 4x2 tilings must all converge
+    # with identical outer-iteration counts and span-rel parity vs the
+    # single-device solve.
+    from jax.sharding import Mesh
+    from scpn_fusion_tpu.parallel.sharded_mg2d import (
+        solve_equilibrium_sharded_2d,
+    )
+
+    per_tiling = {}
+    ok5 = True
+    max_dev_2d = 0.0
+    for shape in ((1, 8), (2, 4), (4, 2)):
+        mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(shape),
+                      ("tz", "tr"))
+        res2d = solve_equilibrium_sharded_2d(cfg, mesh2d, dtype=dtype)
+        psi2d = np.asarray(res2d.psi)
+        dev = float(np.max(np.abs(psi2d - psi_ref))) / span
+        max_dev_2d = max(max_dev_2d, dev)
+        per_tiling[f"{shape[0]}x{shape[1]}"] = {
+            "converged": bool(res2d.converged),
+            "iterations": int(res2d.iterations),
+            "span_rel_dev_vs_single": dev,
+        }
+        ok5 = ok5 and bool(res2d.converged)
+    iters_2d = {v["iterations"] for v in per_tiling.values()}
+    gate_dev_2d = 1e-5
+    ok5 = ok5 and (len(iters_2d) == 1) and (max_dev_2d < gate_dev_2d)
+    lanes.append(LaneResult(
+        name="tile2d_grid_invariant_convergence",
+        status="pass" if ok5 else "fail",
+        metrics={
+            "grid": f"{n}x{n}",
+            "max_span_rel_dev_vs_single": max_dev_2d,
+            "iteration_counts_identical": len(iters_2d) == 1,
+            **{f"tiling_{k}_iterations": v["iterations"]
+               for k, v in per_tiling.items()},
+            **{f"tiling_{k}_converged": v["converged"]
+               for k, v in per_tiling.items()},
+        },
+        thresholds={"max_span_rel_dev_vs_single": gate_dev_2d},
+        notes="full Anderson-MG-Picard 513^2 solve CONVERGES with the "
+              "elliptic inner solve 2D-tiled over 1x8/2x4/4x2 process "
+              "grids, iteration-identical across tilings (the reference's "
+              "tile == monolithic invariant, mpi_domain.rs:804,1009); "
+              "x64 CPU mesh"))
+
     path = write_report("sharded_convergence", lanes)
     print(f"wrote {path}")
     return 0 if all(lane.status == "pass" for lane in lanes) else 1
