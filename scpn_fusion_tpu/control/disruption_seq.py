@@ -276,6 +276,7 @@ def train_seq_predictor(
     batch_size: int = 16,
     lr: float = 3e-4,
     weight_decay: float = 1e-3,
+    pos_end: jnp.ndarray | None = None,   # (N,) end of positive window
 ) -> SeqTrainResult:
     """Per-tick BCE training, whole loop one jitted ``lax.scan``.
 
@@ -283,6 +284,12 @@ def train_seq_predictor(
     growth-delay are positive (flipped-to-disruptive shots without a real
     onset use the last quarter — the label noise the lane is about);
     everything else negative.  Class-balanced weighting.
+
+    ``pos_end`` (optional, per shot): last tick of the supervised
+    positive window.  Ticks at/after it in disruptive shots get ZERO
+    loss weight — used by the cross-generator transfer lane to exclude
+    the quench itself from supervision, forcing the gradient onto the
+    precursor signature rather than the (trivially detectable) collapse.
     """
     n, t_len, c = shots.shape
     ticks = jnp.arange(t_len)
@@ -296,6 +303,9 @@ def train_seq_predictor(
                  & (ticks[None, :] >= jnp.where(onsets >= 0, onsets,
                                                 t_len)[:, None])
                  & (ticks[None, :] < eff_onset[:, None]))
+    if pos_end is not None:
+        ambiguous = ambiguous | ((labels[:, None] > 0.5)
+                                 & (ticks[None, :] >= pos_end[:, None]))
     w_pos = jnp.sum(1.0 - y) / jnp.maximum(jnp.sum(y), 1.0)
     weights = jnp.where(y > 0.5, w_pos, 1.0) * (1.0 - ambiguous)
 

@@ -80,15 +80,27 @@ def read_disruption_npz(path) -> DisruptionShot:
     data = p.read_bytes()           # OSError propagates (missing file etc.)
     try:
         with np.load(io.BytesIO(data), allow_pickle=False) as raw:
-            present = set(raw.files)
-            missing = (set(CHANNEL_KEYS) | set(SCALAR_KEYS)) - present
+            # Key lookup is case-insensitive: the reference's committed
+            # DIII-D-like fixtures capitalise physics symbols (``Ip_MA``,
+            # ``BT_T``, ``beta_N`` — reference_data/diiid/disruption_shots)
+            # while this repo's writer emits lowercase.  Ambiguity (two
+            # keys differing only by case) stays fail-closed.
+            lookup: dict[str, str] = {}
+            for name in raw.files:
+                low = name.lower()
+                if low in lookup:
+                    raise DisruptionNpzError(
+                        f"{p.name}: ambiguous keys {lookup[low]!r} vs "
+                        f"{name!r} (case-insensitive collision)")
+                lookup[low] = name
+            missing = (set(CHANNEL_KEYS) | set(SCALAR_KEYS)) - set(lookup)
             if missing:
                 raise DisruptionNpzError(
                     f"{p.name} missing keys: {sorted(missing)}")
             cols = []
             t_len = None
             for k in CHANNEL_KEYS:
-                arr = np.asarray(raw[k], dtype=np.float64)
+                arr = np.asarray(raw[lookup[k]], dtype=np.float64)
                 if arr.ndim != 1:
                     raise DisruptionNpzError(
                         f"channel {k} must be 1-D; got shape {arr.shape}")

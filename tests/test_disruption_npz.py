@@ -124,3 +124,34 @@ def test_nested_zip_surprise_fail_closed(tmp_path):
     p.write_bytes(buf.getvalue())
     with pytest.raises(DisruptionNpzError):
         read_disruption_npz(p)
+
+
+def test_case_insensitive_keys(tmp_path):
+    """The reference's committed fixtures capitalise physics symbols
+    (``Ip_MA``, ``BT_T``, ``beta_N``); lookup is case-insensitive."""
+    shot = _shot()
+    p = tmp_path / "shot.npz"
+    write_disruption_npz(p, shot)
+    with np.load(p, allow_pickle=False) as raw:
+        payload = {k: raw[k] for k in raw.files}
+    payload["Ip_MA"] = payload.pop("ip_ma")
+    payload["BT_T"] = payload.pop("bt_t")
+    payload["beta_N"] = payload.pop("beta_n")
+    q = tmp_path / "caps.npz"
+    np.savez(q, **payload)
+    back = read_disruption_npz(q)
+    np.testing.assert_allclose(back.signals, shot.signals, rtol=0, atol=0)
+
+
+def test_case_collision_fail_closed(tmp_path):
+    """Two keys differing only by case must be rejected, not guessed."""
+    shot = _shot()
+    p = tmp_path / "shot.npz"
+    write_disruption_npz(p, shot)
+    with np.load(p, allow_pickle=False) as raw:
+        payload = {k: raw[k] for k in raw.files}
+    payload["IP_MA"] = payload["ip_ma"]
+    q = tmp_path / "dup.npz"
+    np.savez(q, **payload)
+    with pytest.raises(DisruptionNpzError, match="ambiguous"):
+        read_disruption_npz(q)

@@ -176,6 +176,69 @@ def main() -> int:
               "critical-gradient structure: quiet below ~4, strong "
               "above ~10, monotone within noise"))
 
+    # ── Lane 5: adapter executable round-trip (VERDICT r3 weak #8) ──
+    # Mock binaries validate the deck our path-A adapters write, then
+    # emit real-format outputs with the canonical fixture's numbers;
+    # every adapter's prepare_input -> subprocess -> parse chain must
+    # reproduce the fixture through a genuine process boundary
+    # (reference counterpart: tglf_validation_runtime.py:33-60).
+    import tempfile
+
+    from scpn_fusion_tpu.models.gyrokinetics.interface import GKLocalParams
+    from scpn_fusion_tpu.models.gyrokinetics.mock_binaries import (
+        canonical_mock_payload, install_mock_gk_binaries, mock_path_env,
+        run_adapter_roundtrip, validate_profile_against_external,
+    )
+
+    ref_out = itg["tglf_output"]
+    spec = np.asarray([[r["ky_rho_s"], r["gamma_cs_a"], r["omega_cs_a"]]
+                       for r in ref_out["growth_rates_ky"]])
+    base = GKLocalParams(r_l_ti=9.0, r_l_te=6.9, r_l_ne=2.2,
+                         q=1.4, s_hat=0.8, beta_e=0.01,
+                         kappa=1.7, delta=0.33, rho=0.5)
+    adapter_metrics: dict[str, float] = {}
+    ok5 = True
+    with tempfile.TemporaryDirectory(prefix="gk_mock_") as td:
+        bin_dir = Path(td) / "bin"
+        install_mock_gk_binaries(bin_dir,
+                                 canonical_mock_payload("ITG-dominated"))
+        with mock_path_env(bin_dir):
+            for code in ("tglf", "gene", "gs2", "cgyro", "qualikiz"):
+                out = run_adapter_roundtrip(code, base,
+                                            Path(td) / f"{code}_run")
+                adapter_metrics[f"{code}_converged"] = float(out.converged)
+                ok5 &= bool(out.converged)
+                if code in ("tglf", "gs2"):
+                    dev = float(np.max(np.abs(
+                        np.asarray(out.gamma) - spec[:, 1])))
+                    adapter_metrics[f"{code}_spectrum_max_dev"] = dev
+                    ok5 &= dev < 1e-6
+                    ok5 &= out.dominant_mode == "ITG"
+                if code in ("gene", "qualikiz"):
+                    dev = abs(float(out.chi_i) - float(
+                        ref_out["chi_i_gyroBohm"]))
+                    adapter_metrics[f"{code}_chi_i_dev"] = dev
+                    ok5 &= dev < 1e-9
+        prof = canonical_mock_payload("ITG-dominated")["profile"]
+        cmp = validate_profile_against_external(
+            np.asarray(prof["rho"]), np.asarray(prof["chi_i"]),
+            np.asarray(prof["chi_e"]), bin_dir=bin_dir, base_params=base)
+        adapter_metrics["multisurface_rms_chi_i"] = cmp.rms_error_chi_i
+        adapter_metrics["multisurface_corr_chi_i"] = cmp.correlation_chi_i
+        ok5 &= cmp.rms_error_chi_i < 1e-9
+    lanes.append(LaneResult(
+        name="adapter_executable_roundtrip",
+        status="pass" if ok5 else "fail",
+        metrics=adapter_metrics,
+        thresholds={"spectrum_max_dev": 1e-6, "chi_dev": 1e-9,
+                    "multisurface_rms": 1e-9},
+        notes="all five external-GK adapters executed end-to-end "
+              "against deck-validating mock binaries; parsed spectra "
+              "and transport match the canonical ITG fixture; "
+              "multi-surface live-validation counterpart of the "
+              "reference's validate_against_tglf scores zero RMS on "
+              "the published regime profile"))
+
     path = write_report("gk_growth_rates", lanes)
     print(f"wrote {path}")
     return 0 if all(lane.status == "pass" for lane in lanes) else 1
