@@ -111,6 +111,30 @@ def _mode_flight_sim(args) -> int:
     return 0 if out["disruption_fraction"] == 0.0 else 1
 
 
+def _mode_realtime(args) -> int:
+    """Three-node realtime bus session (reference
+    ``run_realtime_simulation.py`` counterpart — physics, controller and
+    diagnostics as separate OS processes over a dict-proxy bus)."""
+    from scpn_fusion_tpu.control.realtime_bus import run_realtime_session
+
+    res = run_realtime_session(n_ticks=args.ticks,
+                               tick_interval_s=args.tick_interval)
+    out = {
+        "ticks": res.n_ticks,
+        "final_r_err_m": res.final_r_err,
+        "final_z_err_m": res.final_z_err,
+        "open_loop_r_err_m": res.open_loop_r_err,
+        "controller_actions": res.controller_actions,
+        "stale_action_reads": res.stale_action_reads,
+        "diagnostics": res.diagnostics,
+        "wall_s": round(res.wall_s, 3),
+    }
+    print(json.dumps(out))
+    closed = (res.final_r_err < 0.5 * res.open_loop_r_err
+              and not res.diagnostics.get("disrupted_any", True))
+    return 0 if closed else 1
+
+
 def _mode_burn(args) -> int:
     from scpn_fusion_tpu.models.physics.scaling_burn import burn_equilibrium_0d
 
@@ -723,6 +747,13 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--hz", type=float, default=10000.0)
     f.add_argument("--duration", type=float, default=1.0)
     f.set_defaults(fn=_mode_flight_sim)
+
+    rtb = sub.add_parser(
+        "realtime", help="multi-process realtime bus session "
+        "(physics/controller/diagnostics nodes)")
+    rtb.add_argument("--ticks", type=int, default=400)
+    rtb.add_argument("--tick-interval", type=float, default=0.002)
+    rtb.set_defaults(fn=_mode_realtime)
 
     b = sub.add_parser("burn", help="0D burn operating point")
     b.add_argument("--ne19", type=float, default=10.0)
