@@ -20,6 +20,18 @@ from scpn_fusion_tpu.models.physics.edge_events import (  # noqa: F401
     marfe_onset,
     pellet_ablation,
 )
+from scpn_fusion_tpu.models.physics.fast_ions import (  # noqa: F401
+    EnsembleStats,
+    coulomb_log_ei,
+    critical_velocity,
+    first_orbit_loss,
+    follow_ensemble,
+    heating_partition,
+    sample_fast_ion_birth,
+    slowing_down_time,
+    tau_spitzer_electron,
+    tokamak_field,
+)
 from scpn_fusion_tpu.models.physics.mhd_modes import (  # noqa: F401
     delta_prime_cylindrical,
     locked_mode_evolution,
