@@ -51,11 +51,17 @@ def find_x_point(
     ``fusion_kernel.py:279``).  Returns (iz, ir, psi_x).  If the mask is
     empty the global psi minimum is returned (same fallback semantics).
     """
-    # Central-difference gradient (interior); one-sided at edges is
-    # irrelevant because the divertor mask excludes the boundary ring anyway.
+    # Central-difference gradient (interior), one-sided at edges.
+    # sqrt(a^2+b^2) rather than hypot: bit-identical to the fused Pallas
+    # source kernel (`ops/pallas_source._fused_source_kernel`) so both
+    # paths select the SAME X-point site — hypot's extra ulp of rounding
+    # can flip near-degenerate |grad psi| ties between sites with very
+    # different flux, which destabilises the Picard loop (seen as a
+    # 1e-4-scale source noise floor at 129^2 f32).  No overflow concern:
+    # gradients here are O(1e3) at most.
     dpsi_dz = jnp.gradient(psi, d_z, axis=0)
     dpsi_dr = jnp.gradient(psi, d_r, axis=1)
-    b_mag = jnp.hypot(dpsi_dr, dpsi_dz)
+    b_mag = jnp.sqrt(dpsi_dr * dpsi_dr + dpsi_dz * dpsi_dz)
 
     mask = zz < (z_min * 0.5)
     any_divertor = jnp.any(mask)

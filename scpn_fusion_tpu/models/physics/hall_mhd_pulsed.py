@@ -33,8 +33,21 @@ def spitzer_resistivity_ohm_m(
     z_eff: float = 1.0,
     ln_lambda: float = 17.0,
 ):
-    """NRL-style Spitzer resistivity ``1.65e-9 Z lnLambda / T_e^1.5``."""
-    return 1.65e-9 * z_eff * ln_lambda / jnp.power(temperature_ev, 1.5)
+    """Spitzer parallel resistivity [Ohm m] for T_e in eV.
+
+    Wesson's coefficient form ``eta = 1.65e-9 Z lnLambda / T_keV^1.5``
+    evaluated with the eV input converted to keV (equivalently
+    ``5.218e-5 Z lnLambda / T_eV^1.5``); at 100 eV, Z=1, lnL=17 this gives
+    8.9e-7 Ohm m, the NRL parallel value (0.51 x eta_perp).  DISCLOSED FIX vs the reference:
+    ``core/hall_mhd_pulsed.py:74-86`` applies the keV coefficient directly
+    to an eV temperature, underestimating eta by (1000)^1.5 ~ 3.2e4 (its
+    own ``disruption_sequence`` sibling uses the correct eV coefficient
+    5.2e-5).  The carrier dynamics only feel eta through the
+    ``eta * J_theta`` sink, which every committed reference scenario runs
+    with J_theta = 0, so trajectory parity is unaffected.
+    """
+    return 1.65e-9 * z_eff * ln_lambda / jnp.power(
+        jnp.asarray(temperature_ev) / 1.0e3, 1.5)
 
 
 def faraday_e_theta_from_b_ramp(

@@ -13,12 +13,13 @@ Numerics deltas vs the unfused pair (`models/equilibrium/topology.py`
 ``plasma_current_density``; reference semantics
 ``fusion_kernel.py:255-444``), both at f32 tolerance scale:
 
-* X-point selection: `argmin` picks the first flat-minimum index; here
-  the flux at the minimum-|grad psi| site is recovered as
-  ``min(psi where |grad| == min|grad|)`` — identical unless the minimum
-  is degenerate across sites with different flux.
-* Reduction association order (max/min/sum) follows the VPU tree, not
-  XLA's — f32 rounding differences only.
+* X-point selection is bit-identical: the kernel recovers the FIRST
+  row-major minimum-|grad psi| site via exact min-reductions (f32
+  min/max are reorder-exact), matching XLA ``argmin`` semantics; both
+  paths use ``sqrt(dr^2+dz^2)`` for |grad psi| (see ``topology.py``).
+* Sum association order (the Ip-normalisation grid sum inside
+  ``plasma_current_density``) follows the VPU tree, not XLA's — f32
+  rounding differences only (~1e-7 relative), smooth in psi.
 
 The profile/normalisation maths is the SAME code: the kernel calls
 ``plasma_current_density`` (pure jnp) inside the Pallas trace.
@@ -75,8 +76,17 @@ def _fused_source_kernel(psi_ref, r_ref, mask_ref, par_ref, src_ref, *,
     inf = jnp.asarray(jnp.inf, psi.dtype)
     masked_b = jnp.where(mask, b_mag, inf)
     b_min = jnp.min(masked_b)
-    # Flux at the minimum site (min over ties; see module docstring).
-    psi_x = jnp.min(jnp.where(masked_b == b_min, psi, inf))
+    # Flux at the FIRST (row-major) minimum site — exact `argmin`
+    # emulation.  f32 min is reorder-exact, so this is bit-identical to
+    # the XLA path's `argmin(masked_b)` whatever the VPU reduction tree
+    # does; the earlier min-psi-over-ties rule could pick a different
+    # site than argmin on degenerate |grad psi| flats, giving the Picard
+    # loop two competing psi_b fixed points (129^2 f32 outer-loop flap,
+    # 2026-08-19).
+    lin = (jax.lax.broadcasted_iota(jnp.int32, psi.shape, 0) * nr
+           + jax.lax.broadcasted_iota(jnp.int32, psi.shape, 1))
+    idx = jnp.min(jnp.where(masked_b == b_min, lin, nz * nr))
+    psi_x = jnp.min(jnp.where(lin == idx, psi, inf))
     # ``any(mask)`` is hoisted out of the kernel (par slot 9): a bool
     # reduction lowers through an f64 squeeze under jax_enable_x64, which
     # Mosaic rejects; the mask is loop-invariant anyway.

@@ -227,7 +227,10 @@ class TestArtifactFuzz:
     @given(data=st.data())
     def test_mutated_artifact_fails_closed(self, exported, data,
                                            tmp_path_factory):
-        """Any byte-level mutation must be caught (checksum or schema)."""
+        """Any byte-level mutation must be caught (checksum or schema) —
+        or be a pure re-serialisation that decodes to the IDENTICAL
+        payload (the checksum is over canonical parsed content, so e.g.
+        ``0.0`` -> ``0e0`` passes, and must import value-identically)."""
         from scpn_fusion_tpu.scpn.artifact import (
             ArtifactError,
             import_controller,
@@ -240,9 +243,13 @@ class TestArtifactFuzz:
         mutated = text[:pos] + ch + text[pos + 1:]
         path = tmp_path_factory.mktemp("art") / "bad.scpnctl.json"
         path.write_text(mutated)
-        with pytest.raises((ArtifactError, json.JSONDecodeError,
-                            UnicodeDecodeError)):
-            import_controller(path)
+        try:
+            _, _, payload = import_controller(path)
+        except (ArtifactError, json.JSONDecodeError, UnicodeDecodeError):
+            return
+        _, _, payload0 = import_controller(exported)
+        assert payload == payload0, (
+            "mutation passed the checksum but changed the payload")
 
     @SETTINGS
     @given(payload=st.dictionaries(st.text(max_size=12), json_values,

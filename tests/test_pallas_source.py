@@ -90,6 +90,37 @@ def test_fused_source_degenerate_field_guard():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_fused_source_degenerate_tie_picks_argmin_site():
+    """Exactly-tied |grad psi| minima at sites with very different flux:
+    the kernel must pick the FIRST row-major site, like argmin — the old
+    min-psi-over-ties rule picked the other one, giving the free-boundary
+    Picard loop two competing psi_b fixed points (129^2 f32 flap)."""
+    n = 65
+    r = jnp.linspace(2.0, 10.0, n, dtype=jnp.float32)
+    z = jnp.linspace(-4.0, 4.0, n, dtype=jnp.float32)
+    rr, zz = jnp.meshgrid(r, z)
+    dr = float(r[1] - r[0])
+    dz = float(z[1] - z[0])
+    # Two locally-flat plateaus in the divertor region (zz < -2): a 3x3
+    # patch of constant psi has |grad| == 0 at its centre.  Different
+    # plateau values => the tie-break choice changes psi_b.
+    base = jnp.asarray(np.linspace(1.0, 2.0, n, dtype=np.float32))[None, :]
+    psi = 3.0 * jnp.exp(-(((rr - 6.0) / 2.0) ** 2 + (zz / 2.0) ** 2)) + base
+    psi = psi.at[5:8, 10:13].set(2.5)    # first (row-major) flat: psi 2.5
+    psi = psi.at[9:12, 40:43].set(0.3)   # second flat: psi 0.3
+    p_c, ff_c = _coeffs(seed=11)
+    i_t = jnp.asarray(10.0, jnp.float32)
+
+    ref = _unfused(psi, r, zz, rr, dr, dz, float(z[0]), p_c, ff_c, i_t, False)
+    mask = (zz < float(z[0]) * 0.5).astype(jnp.float32)
+    fus = fused_topology_source(
+        psi, r, mask, p_c, ff_c, i_t,
+        d_r=dr, d_z=dz, mu0=MU0, h_mode=False, interpret=True)
+    span = float(ref.max() - ref.min()) or 1.0
+    dev = float(jnp.max(jnp.abs(ref - fus))) / span
+    assert dev < 1e-6, f"span-rel dev {dev:.3e} (tie-break mismatch)"
+
+
 def test_fused_source_empty_divertor_fallback():
     """All-false mask falls back to the global psi minimum, like argmin."""
     psi, r, z, rr, zz, dr, dz = _problem(seed=7)

@@ -105,9 +105,29 @@ class TestHallMHD:
         return rho, psi0, j_theta
 
     def test_spitzer_value(self):
-        """eta(100 eV, Z=1, lnL=17) = 1.65e-9*17/1000."""
+        """eta(100 eV, Z=1, lnL=17) ~ 8.9e-7 Ohm m — the NRL parallel
+        Spitzer value (0.51 x eta_perp = 0.51 x 1.03e-4 x 17 / 100^1.5 in
+        Ohm m); the reference's keV-coefficient-on-eV-input bug is fixed
+        here — see the function docstring."""
         eta = float(spitzer_resistivity_ohm_m(jnp.asarray(100.0)))
-        np.testing.assert_allclose(eta, 1.65e-9 * 17.0 / 1e3, rtol=1e-12)
+        np.testing.assert_allclose(eta, 1.65e-9 * 17.0 / 0.1**1.5, rtol=1e-6)
+        nrl_parallel = 0.51 * 1.03e-4 * 17.0 / 100.0**1.5
+        np.testing.assert_allclose(eta, nrl_parallel, rtol=0.05)
+
+    def test_spitzer_cross_module_consistency(self):
+        """hall_mhd_pulsed and disruption_sequence resistivities must agree
+        (same formula, different modules) once Z_eff is equalised."""
+        from scpn_fusion_tpu.models.physics.disruption_sequence import (
+            spitzer_resistivity,
+        )
+        from scpn_fusion_tpu.models.physics.disruption_sequence import (
+            LN_LAMBDA as LNL_DISR,
+        )
+        t_ev = jnp.asarray([10.0, 100.0, 1000.0])
+        a = np.asarray(spitzer_resistivity_ohm_m(t_ev, z_eff=1.5,
+                                                 ln_lambda=float(LNL_DISR)))
+        b = np.asarray(spitzer_resistivity(t_ev, z_eff=1.5))
+        np.testing.assert_allclose(a, b, rtol=0.01)
 
     def test_flux_decays_without_drive(self):
         rho, psi0, j_theta = self._setup()

@@ -63,7 +63,13 @@ def main() -> int:
         Coil(r=10.8, z=0.0, current=6.0), Coil(r=8.0, z=-4.8, current=4.0),
         Coil(r=3.5, z=-4.8, current=-1.0), Coil(r=10.8, z=2.5, current=3.0),
     )
-    def measure(n, max_outer=12, tol=1e-4, dtype=None):
+    def measure(n, max_outer=16, tol=1e-4, dtype=None):
+        # f32 lanes: the outer criterion is absolute max|dpsi| between
+        # successive inner solves; the f32 fixed point is a limit cycle of
+        # ~25 ulps of psi_axis (~42 here, ulp 3.8e-6 => cycle ~1e-4), so
+        # tol must clear it.  2.5e-4 is ~5e-6 span-relative — same
+        # rationale as the 257^2 lane below.  The f64 lane keeps 1e-4 and
+        # converges in 3 outer iterations (no cycle at f64 ulp scale).
         dtype = dtype or jnp.float32
         np_dtype = np.float64 if dtype == jnp.float64 else np.float32
         cfg = ReactorConfig(
@@ -126,7 +132,7 @@ def main() -> int:
         }
 
     lanes = []
-    m129 = measure(129)
+    m129 = measure(129, tol=2.5e-4)
     ok1 = m129["all_converged"] and 0.0 < m129["device_ms"] <= REF_WARM_NOMG_MS
     lanes.append(LaneResult(
         name="warm_forward_129_device",
@@ -145,7 +151,10 @@ def main() -> int:
                "(same protocol as bench.py / VERDICT r2 weak #2).  "
                "DTYPE DISCLOSURE: f32 here (x64 unavailable on the TPU "
                "path) vs the reference's FP64 H100 figure; accuracy at "
-               "f32 is separately gated in precision_budget.json"),
+               "f32 is separately gated in precision_budget.json.  "
+               "Outer tol 2.5e-4 (~5e-6 span-rel): the f32 fixed point "
+               "is a ~25-ulp limit cycle (measured 2026-08-19), 1e-4 "
+               "sits on its boundary; the f64 lane holds tol=1e-4"),
     ))
 
     # ── f64 apples-to-apples lane (VERDICT r3 next #8): the reference's
