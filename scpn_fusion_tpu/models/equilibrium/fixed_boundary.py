@@ -225,7 +225,9 @@ def solve_fixed_boundary_impl(
                                1.0, mg_pre_smooth, mg_post_smooth,
                                mg_min_grid, 50, use_pallas)
         else:  # "sor" | "anderson"
-            if use_pallas:
+            # Same whole-grid VMEM budget as picard_source below.
+            if use_pallas and (psi_in.size * psi_in.dtype.itemsize * 3
+                               <= 12 * 2**20):
                 from scpn_fusion_tpu.ops.pallas_stencil import sor_sweeps_pallas
                 out = sor_sweeps_pallas(psi_in, source, r_1d, d_r, d_z,
                                         omega, inner_sweeps, interpret=False)
@@ -248,7 +250,11 @@ def solve_fixed_boundary_impl(
         kernel (``ops/pallas_source.py``) — as separate XLA ops it was
         ~0.23 ms of the ~0.55 ms outer iteration at 513².
         """
-        if use_pallas:
+        # Whole-grid VMEM budget: the fused kernel holds psi + mask + src
+        # (3 arrays) resident; above ~12 MB (1025²+ f32) fall back to the
+        # XLA chain — at that size the ops are bandwidth-bound anyway.
+        fits_vmem = (psi_k.size * psi_k.dtype.itemsize * 3) <= 12 * 2**20
+        if use_pallas and fits_vmem:
             from scpn_fusion_tpu.ops.pallas_source import (
                 fused_topology_source,
             )

@@ -148,7 +148,8 @@ def _dummy_eq(grid: Grid, dtype, max_iter: int) -> EquilibriumResult:
     jax.jit,
     static_argnames=("cfg", "grid", "max_outer_iter", "tol", "optimize_shape",
                      "tikhonov_alpha", "mu0_green", "use_pallas",
-                     "use_wall_response", "anderson_gram_f32"),
+                     "use_wall_response", "anderson_gram_f32",
+                     "mixed_n_refine"),
 )
 def _run_free_boundary(
     coils: CoilSet,
@@ -163,9 +164,24 @@ def _run_free_boundary(
     use_pallas: bool,
     anderson_gram_f32: bool = False,
     use_wall_response: bool = False,
+    mixed_n_refine: int = 0,
 ) -> FreeBoundaryResult:
     dtype = coils.currents.dtype
     g_table = external_flux_table(grid, coils, mu0_green)
+
+    # Mixed-precision inner elliptic (f64 master iterate, f32 MG defect
+    # correction — models/equilibrium/mixed_precision.py): the V-cycle is
+    # ~90% of the inner solve's cost and runs in f32 (Pallas-eligible),
+    # while the outer criterion, Green's boundary, topology and source stay
+    # f64 — same convergence semantics as the full-f64 lane at near-f32
+    # device cost.
+    elliptic_inj = None
+    if mixed_n_refine > 0:
+        from scpn_fusion_tpu.models.equilibrium.mixed_precision import (
+            make_refinement_elliptic,
+        )
+        elliptic_inj = make_refinement_elliptic(
+            grid, n_refine=mixed_n_refine, use_pallas=use_pallas)
 
     wall = None
     if use_wall_response:
@@ -215,7 +231,10 @@ def _run_free_boundary(
             anderson_m=sol.anderson_depth,
             mu0=mu0_cfg,
             use_gs_criterion=False,
-            use_pallas=use_pallas,
+            # In mixed mode the Pallas flag belongs to the injected f32
+            # V-cycle only; the f64 topology/source path must stay on XLA.
+            use_pallas=use_pallas and elliptic_inj is None,
+            elliptic_fn=elliptic_inj,
             anderson_gram_f32=anderson_gram_f32,
         )
 
@@ -278,6 +297,7 @@ def solve_free_boundary(
     use_wall_response: bool = False,
     dtype=jnp.float32,
     anderson_gram_f32: bool = False,
+    mixed_n_refine: int = 0,
 ) -> FreeBoundaryResult:
     """Free-boundary equilibrium: coil flux BC <-> inner GS solve outer loop.
 
@@ -286,7 +306,22 @@ def solve_free_boundary(
     always uses SI mu0 there regardless of the config's (possibly
     normalised) value (``fusion_kernel_free_boundary.py:28``); pass 1.0 for
     fully normalised test problems.
+
+    ``mixed_n_refine > 0`` selects the mixed-precision inner elliptic
+    (requires ``dtype=float64`` + x64): the outer loop, boundary flux, and
+    convergence criterion run in f64 while each inner elliptic solve is
+    ``mixed_n_refine`` rounds of f64-defect -> f32-V-cycle correction
+    (``mixed_precision.make_refinement_elliptic``) — f64 convergence
+    semantics at near-f32 device cost.
     """
+    if mixed_n_refine > 0:
+        from scpn_fusion_tpu.models.equilibrium.mixed_precision import (
+            require_x64,
+        )
+        require_x64()
+        if jnp.dtype(dtype) != jnp.float64:
+            raise ValueError("mixed_n_refine needs dtype=float64 (the f32 "
+                             "work lives inside the injected V-cycle)")
     if grid is None:
         grid = Grid.from_config(cfg, dtype=dtype)
     if coils is None:
@@ -296,6 +331,10 @@ def solve_free_boundary(
     if optimize_shape and coils.target_flux_points is None:
         raise ValueError("optimize_shape requires CoilSet.target_flux_points")
 
+    # Pallas kernels are f32-only (TPU VMEM tiling): eligible for pure-f32
+    # runs, and in mixed mode for the injected f32 V-cycle; the full-f64
+    # path falls back to the XLA smoother.
+    pallas_ok = cfg.solver.use_pallas and jax.default_backend() == "tpu"
     return _run_free_boundary(
         coils,
         cfg=cfg,
@@ -305,11 +344,9 @@ def solve_free_boundary(
         optimize_shape=bool(optimize_shape),
         tikhonov_alpha=float(tikhonov_alpha),
         mu0_green=float(mu0_green),
-        # Pallas SOR kernel is f32-only (TPU VMEM tiling); f64/mixed runs
-        # must fall back to the XLA smoother.
-        use_pallas=(cfg.solver.use_pallas
-                    and jax.default_backend() == "tpu"
-                    and jnp.dtype(dtype) == jnp.float32),
+        use_pallas=pallas_ok and (jnp.dtype(dtype) == jnp.float32
+                                  or mixed_n_refine > 0),
         use_wall_response=bool(use_wall_response),
         anderson_gram_f32=bool(anderson_gram_f32),
+        mixed_n_refine=int(mixed_n_refine),
     )

@@ -178,7 +178,15 @@ def _vcycle_impl(
             psi_s, source, e_coarse, r_1d, d_r, d_z, omega,
             post_smooth=post_smooth, interpret=False)
 
-    psi = smooth(psi, source, r_1d, d_r, d_z, omega, pre_smooth, use_pallas)
+    # Levels above the whole-grid VMEM budget (psi + source + out at
+    # 1025²+f32 is >12 MB of the ~16 MB VMEM) smooth via XLA; the Pallas
+    # flag still propagates DOWN the recursion, so every level from 513²
+    # on keeps its fused kernels.  These huge levels are genuinely
+    # HBM-bandwidth-bound, where XLA's fused stencil is already
+    # near-roofline — the Pallas win is dispatch overhead on SMALL grids.
+    pallas_here = use_pallas and (nz * nr * psi.dtype.itemsize * 3
+                                  <= 12 * 2**20)
+    psi = smooth(psi, source, r_1d, d_r, d_z, omega, pre_smooth, pallas_here)
 
     # Coarse-grid RHS: r = source - L[psi]  (the error equation L[e] = r).
     defect = gs_residual(psi, source, r_1d, d_r, d_z)
@@ -192,7 +200,8 @@ def _vcycle_impl(
     )
 
     psi = psi + prolongate_bilinear(e_coarse, nz, nr)
-    return smooth(psi, source, r_1d, d_r, d_z, omega, post_smooth, use_pallas)
+    return smooth(psi, source, r_1d, d_r, d_z, omega, post_smooth,
+                  pallas_here)
 
 
 @partial(jax.jit, static_argnames=(

@@ -83,6 +83,35 @@ class TestFreeBoundary:
         rel = np.max(np.abs(psi_f - psi_fb)) / span
         assert rel < 5e-3, f"free-boundary deviates from fixed-boundary: {rel:.2e}"
 
+    def test_mixed_precision_matches_full_f64(self):
+        """Mixed inner elliptic (f64 defect -> f32 V-cycle correction) must
+        reproduce the full-f64 free-boundary fixed point — same outer
+        iteration count, span-rel parity at the correction scale.  This is
+        the accuracy gate behind the warm_forward_129_device_mixed perf
+        lane (validation/run_free_boundary_forward.py)."""
+        import dataclasses
+        cfg = make_cfg("anderson_mg", max_iter=400, anderson_depth=4,
+                       inner_sweeps=1)
+        cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
+            cfg.solver, relaxation_factor=1.0))
+        full = solve_free_boundary(cfg, max_outer_iter=16, tol=1e-4,
+                                   mu0_green=1.0, dtype=jnp.float64,
+                                   anderson_gram_f32=True)
+        mixed = solve_free_boundary(cfg, max_outer_iter=16, tol=1e-4,
+                                    mu0_green=1.0, dtype=jnp.float64,
+                                    anderson_gram_f32=True, mixed_n_refine=2)
+        assert bool(full.converged) and bool(mixed.converged)
+        assert int(mixed.outer_iterations) == int(full.outer_iterations)
+        p_f, p_m = np.asarray(full.psi), np.asarray(mixed.psi)
+        span = p_f.max() - p_f.min()
+        rel = np.max(np.abs(p_f - p_m)) / span
+        assert rel < 1e-5, f"mixed vs full-f64 span-rel {rel:.2e}"
+
+    def test_mixed_precision_requires_f64(self):
+        cfg = make_cfg("anderson_mg", max_iter=100, inner_sweeps=1)
+        with pytest.raises(ValueError, match="float64"):
+            solve_free_boundary(cfg, mixed_n_refine=1, dtype=jnp.float32)
+
     def test_shape_optimization_runs_and_bounds_respected(self):
         cfg = make_cfg("multigrid", max_iter=400)
         coils = coilset_from_config(cfg, jnp.float64)
