@@ -29,9 +29,9 @@ REPORTS = HERE / "reports"
 SLOW = {
     "run_pallas_tpu.py", "run_sharded_gs_tpu.py", "run_stress_campaign.py",
     "run_batched_amortisation.py", "run_real_shot_accuracy.py",
-    "run_free_boundary_forward.py",
+    "run_free_boundary_forward.py", "run_resolution_scaling.py",
 }
-PER_CAMPAIGN_TIMEOUT_S = 1800
+PER_CAMPAIGN_TIMEOUT_S = 3600   # resolution_scaling compiles 2049^2 programs
 
 
 def main() -> int:

@@ -1,0 +1,404 @@
+#!/usr/bin/env python
+"""Resolution scale-out: converged GS solves at 513^2 / 1025^2 / 2049^2.
+
+BEYOND-REFERENCE capability lane: the reference's largest published
+equilibrium artifact is 129^2 (H100 predictive forward) and its own
+resolution-scaling story is multigrid + AMR + (serial) domain decomposition
+(SURVEY.md section 5.7).  This campaign runs the SAME FMG
+Anderson-MG-Picard cascade as the 513^2 headline bench at 4x and 16x the
+grid points on one TPU chip, demonstrating the O(N) multigrid cost model
+holds to 4.2M points:
+
+1. ``anchor_513`` — the headline configuration re-measured in-campaign
+   (cross-reference for the scaling ratios; the canonical number lives in
+   bench.py / BENCH_r*.json).
+2. ``capability_1025`` — converged 1025^2 solve, slope-timed, span-rel
+   parity vs the algorithm-matched NumPy FMG twin (the same oracle the
+   headline uses).
+3. ``capability_2049_mixed`` — converged 2049^2 solve on the MIXED
+   precision path (f64 master iterate + f32 MG defect correction,
+   ``models/equilibrium/mixed_precision.py``), gated on the f64
+   GS-residual criterion.  Pure f32 is measurably NOT convergent at this
+   size: the update-diff criterion (1e-4) sits below the f32 roundoff
+   floor of the 4.2M-point iterate and the solve rides the 600-iteration
+   cap (measured 2026-08-19) — the exact failure mode SURVEY section 7
+   prescribes mixed precision for.  The NumPy twin at 2049^2 costs
+   ~40 s/solve; the f64-criterion convergence is the accuracy gate here
+   (disclosed).
+4. ``on_scaling`` — f32 device cost per grid point per fine-level
+   iteration must grow <= 2.5x from 513^2 to 1025^2 (O(N) multigrid;
+   iteration-count drift is normalised out, bandwidth slack allowed).
+
+Pallas note: whole-grid VMEM-resident kernels cap out at <= 513^2-class
+sizes (psi+source+out > 12 MB above that); levels above the budget smooth
+via XLA (bandwidth-bound there anyway) while every level from 513^2 down
+keeps the fused kernels (``ops/multigrid.py:_vcycle_impl`` guard).
+
+Fail-closed: every lane computes real numbers on the real chip; a
+non-TPU environment blocks (does not pass) the device lanes.
+"""
+
+import dataclasses
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.core.config import (
+        Coil, Dimensions, PhysicsParams, ReactorConfig, SolverParams,
+    )
+    from scpn_fusion_tpu.core.grid import Grid
+    from scpn_fusion_tpu.models.equilibrium.fixed_boundary import (
+        _solve_fixed_boundary,
+    )
+    from scpn_fusion_tpu.models.equilibrium.profiles import (
+        profile_coeffs_from_physics,
+    )
+    from scpn_fusion_tpu.models.equilibrium.vacuum import (
+        vacuum_psi_from_config,
+    )
+    from scpn_fusion_tpu.ops.multigrid import prolongate_bilinear
+    from scpn_fusion_tpu.utils import npref
+    from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
+
+    backend = jax.default_backend()
+    lanes = []
+    if backend != "tpu":
+        for name in ("anchor_513", "capability_1025", "capability_2049",
+                     "on_scaling"):
+            lanes.append(LaneResult(
+                name=name, status="blocked",
+                notes="TPU backend unavailable in this environment"))
+        path = write_report("resolution_scaling", lanes)
+        print(f"wrote {path}")
+        return 0
+
+    coils = (
+        Coil(r=3.5, z=4.8, current=-1.0), Coil(r=8.0, z=4.8, current=4.0),
+        Coil(r=10.8, z=0.0, current=6.0), Coil(r=8.0, z=-4.8, current=4.0),
+        Coil(r=3.5, z=-4.8, current=-1.0), Coil(r=10.8, z=2.5, current=3.0),
+    )
+
+    def base_cfg(n):
+        return ReactorConfig(
+            reactor_name=f"res-scale-{n}",
+            grid_resolution=(n, n),
+            dimensions=Dimensions(R_min=2.0, R_max=10.0, Z_min=-4.0,
+                                  Z_max=4.0),
+            coils=coils,
+            physics=PhysicsParams(plasma_current_target=15.0,
+                                  vacuum_permeability=1.0),
+            solver=SolverParams(
+                max_iterations=600, convergence_threshold=1e-4,
+                relaxation_factor=1.0, solver_method="anderson_mg",
+                anderson_depth=4, mg_pre_smooth=1, mg_post_smooth=2,
+            ),
+        )
+
+    use_pallas = True
+    coarse_tol = 1e-3
+
+    def measure(n_fine, k_hi=5):
+        """Slope-timed chained FMG cascade 129 -> ... -> n_fine (bench.py
+        protocol: per-element Ip perturbations defeat CSE; all elements
+        must converge)."""
+        cfg = base_cfg(n_fine)
+        sol = cfg.solver
+        levels = [129]
+        while levels[-1] < n_fine:
+            levels.append(2 * levels[-1] - 1)
+        grids = {m: Grid.from_config(
+            dataclasses.replace(cfg, grid_resolution=(m, m)),
+            dtype=np.float32) for m in levels}
+        bcs = {m: vacuum_psi_from_config(
+            grids[m], dataclasses.replace(cfg, grid_resolution=(m, m))
+        ).astype(jnp.float32) for m in levels}
+        p_c, ff_c = profile_coeffs_from_physics(cfg.physics, jnp.float32)
+
+        def _level(m, psi_init, i_t, tol, skip_seed):
+            return _solve_fixed_boundary(
+                grids[m], psi_init, bcs[m], i_t, p_c, ff_c,
+                jnp.asarray(tol, jnp.float32),
+                jnp.asarray(jnp.inf, jnp.float32),
+                jnp.asarray(sol.relaxation_factor, jnp.float32),
+                jnp.asarray(sol.sor_omega, jnp.float32),
+                solver_method=sol.solver_method,
+                max_iter=sol.max_iterations, h_mode=False,
+                inner_sweeps=sol.inner_sweeps,
+                anderson_m=sol.anderson_depth, mu0=1.0,
+                use_gs_criterion=False, use_pallas=use_pallas,
+                skip_seed=skip_seed,
+                mg_pre_smooth=sol.mg_pre_smooth,
+                mg_post_smooth=sol.mg_post_smooth,
+                mg_min_grid=sol.mg_min_grid)
+
+        @partial(jax.jit, static_argnames=("k",))
+        def solve_chain(k):
+            def one(carry, i_t):
+                res = _level(levels[0], bcs[levels[0]], i_t, coarse_tol,
+                             False)
+                conv = res.converged
+                for m in levels[1:]:
+                    tol = (sol.convergence_threshold if m == n_fine
+                           else coarse_tol)
+                    res = _level(m, prolongate_bilinear(res.psi, m, m),
+                                 i_t, tol, True)
+                    conv = conv & res.converged
+                return carry, (jnp.sum(res.psi), res.iterations, conv)
+
+            targets = 15.0 + 0.02 * jnp.arange(k, dtype=jnp.float32)
+            _, outs = jax.lax.scan(one, 0, targets)
+            return outs
+
+        def wall(k, reps=3):
+            np.asarray(solve_chain(k)[0])   # compile + warm
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(solve_chain(k)[0])
+                ts.append(time.perf_counter() - t0)
+            return min(ts) * 1e3
+
+        t_lo = wall(1)
+        t_hi = wall(k_hi)
+        _, iters, conv = solve_chain(k_hi)
+        device_ms = max((t_hi - t_lo) / (k_hi - 1), 0.0)
+
+        # One full solve, psi fetched, for parity/physics checks.
+        cfg_solo = cfg
+        from scpn_fusion_tpu.models.equilibrium.fixed_boundary import (
+            solve_equilibrium_fmg,
+        )
+        res_solo, _info = solve_equilibrium_fmg(cfg_solo, min_coarse=129)
+        psi = np.asarray(res_solo.psi, np.float64)
+        return {
+            "n": n_fine, "device_ms": device_ms,
+            "iters": [int(x) for x in np.asarray(iters)],
+            "all_converged": bool(np.all(np.asarray(conv))
+                                  and bool(res_solo.converged)),
+            "psi": psi, "finite": bool(np.all(np.isfinite(psi))),
+            "ns_per_point": 1e6 * device_ms / (n_fine * n_fine),
+        }
+
+    m513 = measure(513, k_hi=5)
+    m1025 = measure(1025, k_hi=5)
+
+    # 2049^2: mixed-precision fine level (pure f32 rides the iteration cap
+    # here — see module docstring).  Slope-timed over chained full FMG
+    # cascades with per-element Ip perturbations, k = 1 vs 3.
+    def measure_2049_mixed():
+        """Whole cascade (f32 coarse 129..1025 -> mixed 2049 fine) in ONE
+        jitted program, chained k solves under lax.scan (bench.py
+        mixed_lane protocol — no host syncs between levels)."""
+        n_fine = 2049
+        gs_thresh = 3e-5
+        cfg = base_cfg(n_fine)
+        sol = cfg.solver
+        levels = [129, 257, 513, 1025]
+        grids32 = {m: Grid.from_config(
+            dataclasses.replace(cfg, grid_resolution=(m, m)),
+            dtype=np.float32) for m in levels}
+        bcs32 = {m: vacuum_psi_from_config(
+            grids32[m], dataclasses.replace(cfg, grid_resolution=(m, m))
+        ).astype(jnp.float32) for m in levels}
+        grid64 = Grid.from_config(cfg, dtype=np.float64)
+        bc64 = vacuum_psi_from_config(grid64, cfg).astype(jnp.float64)
+        p32, ff32 = profile_coeffs_from_physics(cfg.physics, jnp.float32)
+        p64, ff64 = profile_coeffs_from_physics(cfg.physics, jnp.float64)
+
+        from scpn_fusion_tpu.models.equilibrium.mixed_precision import (
+            make_refinement_elliptic,
+        )
+        elliptic = make_refinement_elliptic(grid64, n_refine=2,
+                                            use_pallas=use_pallas)
+
+        def _c32(m, psi_init, i_t, skip_seed):
+            return _solve_fixed_boundary(
+                grids32[m], psi_init, bcs32[m], i_t.astype(jnp.float32),
+                p32, ff32,
+                jnp.asarray(coarse_tol, jnp.float32),
+                jnp.asarray(jnp.inf, jnp.float32),
+                jnp.asarray(1.0, jnp.float32),
+                jnp.asarray(sol.sor_omega, jnp.float32),
+                solver_method="anderson_mg", max_iter=sol.max_iterations,
+                h_mode=False, inner_sweeps=sol.inner_sweeps,
+                anderson_m=sol.anderson_depth, mu0=1.0,
+                use_gs_criterion=False, use_pallas=use_pallas,
+                skip_seed=skip_seed, mg_pre_smooth=sol.mg_pre_smooth,
+                mg_post_smooth=sol.mg_post_smooth)
+
+        @partial(jax.jit, static_argnames=("k",))
+        def solve_chain(k):
+            def one(carry, i_t):
+                res = _c32(129, bcs32[129], i_t, False)
+                conv = res.converged
+                for m in levels[1:]:
+                    res = _c32(m, prolongate_bilinear(res.psi, m, m), i_t,
+                               True)
+                    conv = conv & res.converged
+                p_fine = prolongate_bilinear(
+                    res.psi, n_fine, n_fine).astype(jnp.float64)
+                r = _solve_fixed_boundary(
+                    grid64, p_fine, bc64, i_t.astype(jnp.float64),
+                    p64, ff64,
+                    jnp.asarray(sol.convergence_threshold, jnp.float64),
+                    jnp.asarray(gs_thresh, jnp.float64),
+                    jnp.asarray(1.0, jnp.float64),
+                    jnp.asarray(sol.sor_omega, jnp.float64),
+                    solver_method="anderson_mg",
+                    max_iter=sol.max_iterations, h_mode=False,
+                    inner_sweeps=sol.inner_sweeps,
+                    anderson_m=sol.anderson_depth, mu0=1.0,
+                    use_gs_criterion=True, use_pallas=False,
+                    elliptic_fn=elliptic, skip_seed=True,
+                    anderson_gram_f32=True)
+                conv = conv & r.converged
+                return carry, (jnp.sum(r.psi), r.iterations, conv,
+                               r.gs_residual_best)
+
+            targets = 15.0 + 0.02 * jnp.arange(k, dtype=jnp.float64)
+            _, outs = jax.lax.scan(one, 0, targets)
+            return outs
+
+        def wall(k, reps=3):
+            np.asarray(solve_chain(k)[0])
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(solve_chain(k)[0])
+                ts.append(time.perf_counter() - t0)
+            return min(ts) * 1e3
+
+        t1 = wall(1)
+        t3 = wall(3)
+        _, iters, conv, gs_best = solve_chain(3)
+        device_ms = max((t3 - t1) / 2.0, 0.0)
+        return {
+            "device_ms": device_ms,
+            "iters": [int(x) for x in np.asarray(iters)],
+            "gs_residual_best": float(np.max(np.asarray(gs_best))),
+            "gs_threshold": gs_thresh,
+            "all_converged": bool(np.all(np.asarray(conv))),
+            "finite": True,
+            "ns_per_point": 1e6 * device_ms / (n_fine * n_fine),
+        }
+
+    with jax.enable_x64(True):
+        m2049 = measure_2049_mixed()
+
+    ok = m513["all_converged"] and m513["device_ms"] > 0.0
+    lanes.append(LaneResult(
+        name="anchor_513",
+        status="pass" if ok else "fail",
+        metrics={"device_per_solve_ms": round(m513["device_ms"], 3),
+                 "fine_iterations": m513["iters"],
+                 "ns_per_grid_point": round(m513["ns_per_point"], 2),
+                 "all_converged": m513["all_converged"]},
+        thresholds={"all_converged": True},
+        notes="headline configuration re-measured in-campaign; canonical "
+              "number in bench.py / BENCH_r*.json"))
+
+    # NumPy twin at 1025^2 (same FMG Anderson-MG cascade, f64).
+    cfg1025 = base_cfg(1025)
+    np_levels = [129, 257, 513, 1025]
+    np_psi0 = None
+    t0 = time.perf_counter()
+    for m in np_levels:
+        g = Grid.from_config(
+            dataclasses.replace(cfg1025, grid_resolution=(m, m)),
+            dtype=np.float64)
+        bc = np.asarray(vacuum_psi_from_config(
+            g, dataclasses.replace(cfg1025, grid_resolution=(m, m))),
+            np.float64)
+        np_res = npref.solve_equilibrium_np(
+            np.asarray(g.R, np.float64), np.asarray(g.Z, np.float64), bc,
+            15.0, mu0=1.0, max_iter=600,
+            tol=coarse_tol if m != 1025 else 1e-4, alpha=1.0, anderson_m=4,
+            psi0=np_psi0)
+        if m != 1025:
+            np_psi0 = npref.prolongate_bilinear_np(np_res["psi"],
+                                                   2 * m - 1, 2 * m - 1)
+    np_ms = 1e3 * (time.perf_counter() - t0)
+    span = float(np_res["psi"].max() - np_res["psi"].min())
+    dev1025 = float(np.max(np.abs(m1025["psi"] - np_res["psi"]))) / span
+
+    ok = (m1025["all_converged"] and m1025["finite"] and dev1025 < 2e-3
+          and m1025["device_ms"] > 0.0)
+    lanes.append(LaneResult(
+        name="capability_1025",
+        status="pass" if ok else "fail",
+        metrics={"device_per_solve_ms": round(m1025["device_ms"], 3),
+                 "fine_iterations": m1025["iters"],
+                 "ns_per_grid_point": round(m1025["ns_per_point"], 2),
+                 "span_rel_dev_vs_numpy_twin": dev1025,
+                 "numpy_twin_ms": round(np_ms, 1),
+                 "all_converged": m1025["all_converged"]},
+        thresholds={"span_rel_dev_vs_numpy_twin": 2e-3,
+                    "all_converged": True},
+        notes="4x the headline's grid points, same converged-cascade "
+              "protocol, parity vs the f64 NumPy FMG twin"))
+
+    ok = (m2049["all_converged"] and m2049["finite"]
+          and m2049["device_ms"] > 0.0)
+    lanes.append(LaneResult(
+        name="capability_2049_mixed",
+        status="pass" if ok else "fail",
+        metrics={"device_per_solve_ms": round(m2049["device_ms"], 3),
+                 "fine_iterations": m2049["iters"],
+                 "ns_per_grid_point": round(m2049["ns_per_point"], 2),
+                 "gs_residual_best_f64": m2049["gs_residual_best"],
+                 "gs_threshold": m2049["gs_threshold"],
+                 "all_converged": m2049["all_converged"]},
+        thresholds={"all_converged": True,
+                    "criterion": "f64 GS-residual RMS < 3e-5 (dual with "
+                    "update-diff 1e-4)"},
+        notes="16x the headline's grid points (4.2M) on one chip, mixed "
+              "precision (f64 master + f32 MG defect correction): pure "
+              "f32 measurably rides the 600-iteration cap at this size "
+              "(f32 roundoff floor above the update-diff criterion, "
+              "measured 2026-08-19); NumPy twin omitted (~40 s/solve) — "
+              "the f64 residual criterion is the accuracy gate, "
+              "DISCLOSED"))
+
+    it513 = np.mean(m513["iters"])
+    it1025 = np.mean(m1025["iters"])
+    npp_iter_513 = m513["ns_per_point"] / max(it513, 1e-9)
+    npp_iter_1025 = m1025["ns_per_point"] / max(it1025, 1e-9)
+    r1 = npp_iter_1025 / max(npp_iter_513, 1e-9)
+    ok = 0.0 < r1 <= 2.5
+    lanes.append(LaneResult(
+        name="on_scaling",
+        status="pass" if ok else "fail",
+        metrics={"ns_per_point_per_iter_513": round(npp_iter_513, 2),
+                 "ns_per_point_per_iter_1025": round(npp_iter_1025, 2),
+                 "ratio_1025_over_513": round(r1, 2),
+                 "ns_per_point_513": round(m513["ns_per_point"], 2),
+                 "ns_per_point_1025": round(m1025["ns_per_point"], 2),
+                 "ns_per_point_2049_mixed": round(m2049["ns_per_point"],
+                                                  2)},
+        thresholds={"ratio_1025_over_513": "<= 2.5 per 4x points "
+                    "(O(N) multigrid per-iteration cost; ideal 1.0, "
+                    "slack for the Pallas->XLA smoother crossover above "
+                    "the 513^2 VMEM budget)"},
+        notes="f32 device cost per grid point per fine-level iteration: "
+              "the multigrid O(N) cost model holds on-chip through "
+              "1025^2; the 2049^2 mixed figure is recorded alongside "
+              "(different dtype — not ratio-gated)"))
+
+    path = write_report("resolution_scaling", lanes)
+    print(f"wrote {path}")
+    return 0 if all(l.status == "pass" for l in lanes
+                    if l.status != "blocked") else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
