@@ -90,6 +90,40 @@ class TestEnsemble:
         dev = float(jnp.max(jnp.abs(psi_b[0] - psi_1[0]))) / span
         assert dev < 1e-12, dev
 
+    def test_batch_mixed_matches_single_and_full_f64(self):
+        """Batched mixed-precision element == single mixed solve, and both
+        land on the full-f64 batched fixed point at the correction scale
+        (gates behind the batched_mixed_amortisation campaign lane)."""
+        from scpn_fusion_tpu.parallel.ensemble import (
+            solve_equilibrium_batch_mixed,
+        )
+        cfg = make_cfg("anderson_mg", n=33, max_iter=300, anderson_depth=4,
+                       inner_sweeps=1)
+        grid = Grid.from_config(cfg, dtype=np.float64)
+        base = jnp.asarray([c.current * c.turns for c in cfg.coils],
+                           jnp.float64)
+        batch = jnp.stack([base, 1.1 * base, 0.9 * base])
+        i_t = jnp.asarray([15.0, 15.0, 12.0], jnp.float64)
+
+        psi_b, conv_b, _, _ = solve_equilibrium_batch_mixed(
+            cfg, grid, batch, i_t)
+        assert np.all(np.asarray(conv_b))
+        psi_1, conv_1, _, _ = solve_equilibrium_batch_mixed(
+            cfg, grid, base[None, :], i_t[:1])
+        assert bool(np.asarray(conv_1)[0])
+        span = float(jnp.max(psi_b[0]) - jnp.min(psi_b[0]))
+        dev = float(jnp.max(jnp.abs(psi_b[0] - psi_1[0]))) / span
+        # Not bitwise like the pure-f64 batch: the injected f32 V-cycle
+        # rounds differently under the batched vs unbatched XLA layouts,
+        # so elements agree at the f32-CORRECTION scale (~1e-6 span-rel),
+        # not at f64 ulps.  The f64 master iterate bounds it there.
+        assert dev < 1e-5, dev
+
+        psi_f, conv_f, _ = solve_equilibrium_batch(cfg, grid, batch, i_t)
+        assert np.all(np.asarray(conv_f))
+        dev_f = float(jnp.max(jnp.abs(psi_b[0] - psi_f[0]))) / span
+        assert dev_f < 1e-5, dev_f
+
     def test_batch_sharded_over_mesh(self):
         from scpn_fusion_tpu.parallel.halo import make_z_mesh
         cfg = make_cfg("multigrid", n=33, max_iter=150)
