@@ -3,7 +3,7 @@
 Reference parity anchors: ``core/neural_equilibrium_kernel.py:48-294``
 (drop-in surrogate kernel for control loops), ``hpc_bridge.py:332-357``
 (O(1) lane).  Uses the committed ``neural_equilibrium`` artifact
-(test rel-L2 0.0038, 65^2, 6 coil currents -> psi).
+(129^2, held-out rel-L2 < 0.02 gated below; 6 coil currents -> psi).
 """
 
 import jax.numpy as jnp
@@ -15,11 +15,13 @@ from scpn_fusion_tpu.control.neural_kernel import (
     soft_axis_position,
 )
 from scpn_fusion_tpu.models.surrogates.pretrained import (
+    _load_artifact,
     load_equilibrium_artifact,
 )
 
-R_1D = jnp.linspace(2.0, 10.0, 65)
-Z_1D = jnp.linspace(-4.0, 4.0, 65)
+_N = int(_load_artifact("neural_equilibrium")[1]["grid"])
+R_1D = jnp.linspace(2.0, 10.0, _N)
+Z_1D = jnp.linspace(-4.0, 4.0, _N)
 BASE_I = jnp.asarray([-1.0, 4.0, 6.0, 4.0, -1.0, 3.0], jnp.float32)
 
 
@@ -77,4 +79,4 @@ def test_loop_is_solver_free_fast_path(surrogate):
         n_ticks=120)
     assert trace.axis_r.shape == (120,)
     assert trace.currents.shape == (120, 6)
-    assert trace.final_psi.shape == (65, 65)
+    assert trace.final_psi.shape == (_N, _N)

@@ -208,6 +208,46 @@ def main() -> int:
                     "[1.5e21, 6e21] (Lawson Q>=10 band; ITER ~3e21)"},
         notes="0D burn point lands in the published Lawson window"))
 
+    # ── 8. ECRH single-pass O-mode absorption at the reference point ──
+    # Reference RESULTS.md "Heating & Neutronics": 99.0 % absorption at
+    # 170 GHz (ITER EC system).  Physics anchor: at ITER parameters the
+    # fundamental O-mode single-pass optical depth tau >> 1 (Erckmann &
+    # Gantenbein, PPCF 36 (1994): tau ~ 10-100 for ITER-class n_e T_e),
+    # so absorption saturates; the gate checks tau > 3 (raw absorption
+    # > 95 % before any clamp) AND the clamped efficiency equals the
+    # reference's 0.99 figure, with on-axis-side resonance localisation.
+    from scpn_fusion_tpu.models.physics.rf_heating import (
+        ECRHParams,
+        ecrh_deposition,
+    )
+
+    p_ec = ECRHParams(b0_tesla=5.3, r0_major=6.2, a_minor=2.0,
+                      freq_ghz=170.0, harmonic=1)
+    rho, p_dep, eff = ecrh_deposition(p_ec, p_ecrh_mw=20.0, t_e_kev=20.0,
+                                      n_e_m3=1e20)
+    eff = float(eff)
+    rho_res = float(abs(p_ec.resonance_radius - p_ec.r0_major) / p_ec.a_minor)
+    rho_peak = float(np.asarray(rho)[int(np.argmax(np.asarray(p_dep)))])
+    # invert the clamped efficiency's optical depth for the raw tau
+    wpe_sq_per_n = 1.6021766e-19**2 / (9.1093837e-31 * 8.8541878e-12)
+    tau_raw = (1e20 * wpe_sq_per_n / p_ec.omega**2) * 20.0
+    ok = (abs(eff - 0.99) <= 1e-6 and tau_raw > 3.0 and rho_res < 1.0
+          and abs(rho_peak - rho_res) < 0.1)
+    lanes.append(LaneResult(
+        name="ecrh_single_pass_absorption",
+        status="pass" if ok else "fail",
+        metrics={"absorption_fraction": eff,
+                 "reference_absorption": 0.99,
+                 "single_pass_tau": round(tau_raw, 2),
+                 "rho_resonance": round(rho_res, 3),
+                 "rho_deposition_peak": round(rho_peak, 3)},
+        thresholds={"absorption_fraction": "= 0.99 (reference figure)",
+                    "single_pass_tau": "> 3 (raw absorption > 95%)"},
+        notes="170 GHz fundamental O-mode at ITER-like 5.3 T / 20 keV / "
+              "1e20 m^-3: optical depth saturates single-pass absorption "
+              "(reference RESULTS.md row: ECRH absorption 99.0%); "
+              "deposition peak co-located with the cold resonance"))
+
     path = write_report("physics_closures", lanes)
     print(f"wrote {path}")
     return 0 if all(l.status == "pass" for l in lanes) else 1
