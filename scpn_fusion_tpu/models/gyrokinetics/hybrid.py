@@ -293,3 +293,102 @@ def learner_predict(state: LearnerState, x: jnp.ndarray) -> jnp.ndarray:
     x2 = jnp.atleast_2d(x).astype(state.weights.dtype)
     xa = jnp.concatenate([x2, jnp.ones((x2.shape[0], 1), x2.dtype)], axis=1)
     return xa @ state.weights
+
+
+# ---------------------------------------------------------------------------
+# Session verification report
+# ---------------------------------------------------------------------------
+
+class ReportState(NamedTuple):
+    """Accumulated per-session verification statistics.
+
+    Scan-carry counterpart of the reference's mutable
+    ``VerificationReport`` (``core/gk_verification_report.py:25-97``):
+    instead of appending ``CorrectionRecord`` objects to a Python list,
+    the moments the report exposes (counts, error sums, running max,
+    correction-factor sum) accumulate branch-free inside the transport
+    scan; ``report_to_dict`` finalises the same JSON summary fields.
+    """
+
+    total_steps: jnp.ndarray        # scalar int32
+    steps_verified: jnp.ndarray     # scalar int32
+    total_spot_checks: jnp.ndarray  # scalar int32
+    ood_triggers: jnp.ndarray       # scalar int32
+    n_records: jnp.ndarray          # scalar int32 (valid spot comparisons)
+    sum_abs_rel_err: jnp.ndarray    # chi_i |rel err| sum over records
+    max_abs_rel_err: jnp.ndarray
+    sum_correction: jnp.ndarray     # aggregate |alpha - 1| magnitudes
+    n_correction: jnp.ndarray
+
+
+def init_report(dtype=None) -> ReportState:
+    dtype = default_float() if dtype is None else canonical(dtype)
+    z_i = jnp.asarray(0, jnp.int32)
+    z_f = jnp.asarray(0.0, dtype)
+    return ReportState(z_i, z_i, z_i, z_i, z_i, z_f, z_f, z_f, z_i)
+
+
+def report_add_step(rep: ReportState, *, spot_valid: jnp.ndarray,
+                    ood_flags: jnp.ndarray, gk_chi_i: jnp.ndarray,
+                    surr_chi_i: jnp.ndarray,
+                    corrector: CorrectorState | None = None) -> ReportState:
+    """Fold one transport step's spot-check outcome into the report.
+
+    ``spot_valid``: (budget,) bool — which scheduled slots ran a GK check;
+    ``gk_chi_i`` / ``surr_chi_i``: (budget,) fluxes at those slots;
+    ``ood_flags``: (nr,) bool per-surface OOD indicators.
+    """
+    n_spots = jnp.sum(spot_valid).astype(jnp.int32)
+    verified = (n_spots > 0).astype(jnp.int32)
+    # Signed relative chi_i error with the reference's tiny-GK guard.
+    denom_ok = jnp.abs(gk_chi_i) >= 1e-10
+    rel = jnp.where(denom_ok, (surr_chi_i - gk_chi_i)
+                    / jnp.where(denom_ok, gk_chi_i, 1.0), 0.0)
+    rel = jnp.where(spot_valid, jnp.abs(rel), 0.0)
+    new_max = jnp.maximum(rep.max_abs_rel_err, jnp.max(rel))
+    corr_mag = jnp.asarray(0.0, rep.sum_correction.dtype)
+    n_corr = jnp.asarray(0, jnp.int32)
+    if corrector is not None:
+        corr_mag = jnp.mean(jnp.abs(corrector.alpha_chi_i - 1.0))
+        n_corr = verified
+    return ReportState(
+        total_steps=rep.total_steps + 1,
+        steps_verified=rep.steps_verified + verified,
+        total_spot_checks=rep.total_spot_checks + n_spots,
+        ood_triggers=rep.ood_triggers
+        + jnp.sum(ood_flags).astype(jnp.int32),
+        n_records=rep.n_records + n_spots,
+        sum_abs_rel_err=rep.sum_abs_rel_err + jnp.sum(rel),
+        max_abs_rel_err=new_max,
+        sum_correction=rep.sum_correction + corr_mag * n_corr,
+        n_correction=rep.n_correction + n_corr)
+
+
+def report_to_dict(rep: ReportState) -> dict:
+    """Finalise the JSON-shape summary (reference ``to_dict`` parity)."""
+    total = int(rep.total_steps)
+    n_rec = int(rep.n_records)
+    n_corr = int(rep.n_correction)
+    return {
+        "total_steps": total,
+        "steps_verified": int(rep.steps_verified),
+        "verification_fraction":
+            round(int(rep.steps_verified) / total, 4) if total else 0.0,
+        "total_spot_checks": int(rep.total_spot_checks),
+        "ood_triggers": int(rep.ood_triggers),
+        "max_rel_error_chi_i": round(float(rep.max_abs_rel_err), 4),
+        "mean_rel_error_chi_i":
+            round(float(rep.sum_abs_rel_err) / n_rec, 4) if n_rec else 0.0,
+        "n_correction_records": n_rec,
+        "mean_correction_factor":
+            round(float(rep.sum_correction) / n_corr, 4) if n_corr else 0.0,
+    }
+
+
+def report_to_json(rep: ReportState, path=None) -> str:
+    import json as _json
+    text = _json.dumps(report_to_dict(rep), indent=2)
+    if path is not None:
+        from pathlib import Path as _Path
+        _Path(path).write_text(text)
+    return text

@@ -155,3 +155,61 @@ class TestLearner:
         # slots hold samples 4, 5, 2, 3
         assert float(st.x_buf[0, 0]) == 4.0
         assert float(st.x_buf[1, 0]) == 5.0
+
+
+class TestSessionReport:
+    """Verification-report parity (reference gk_verification_report.py:25-97)."""
+
+    def test_accumulation_and_summary(self):
+        from scpn_fusion_tpu.models.gyrokinetics.hybrid import (
+            init_corrector, init_report, report_add_step, report_to_dict,
+        )
+        rep = init_report()
+        sv = jnp.array([True, True, False])
+        rep = report_add_step(
+            rep, spot_valid=sv, ood_flags=jnp.array([False] * 9 + [True]),
+            gk_chi_i=jnp.array([1.0, 2.0, 0.0]),
+            surr_chi_i=jnp.array([1.2, 1.6, 5.0]),
+            corrector=init_corrector(16))
+        # an unverified step (no spot checks)
+        rep = report_add_step(
+            rep, spot_valid=jnp.zeros(3, bool),
+            ood_flags=jnp.zeros(10, bool), gk_chi_i=jnp.zeros(3),
+            surr_chi_i=jnp.zeros(3))
+        d = report_to_dict(rep)
+        assert d["total_steps"] == 2 and d["steps_verified"] == 1
+        assert d["verification_fraction"] == 0.5
+        assert d["total_spot_checks"] == 2 and d["ood_triggers"] == 1
+        assert abs(d["max_rel_error_chi_i"] - 0.2) < 1e-6
+        assert abs(d["mean_rel_error_chi_i"] - 0.2) < 1e-6
+
+    def test_tiny_gk_flux_guard(self):
+        from scpn_fusion_tpu.models.gyrokinetics.hybrid import (
+            init_report, report_add_step, report_to_dict,
+        )
+        rep = report_add_step(
+            init_report(), spot_valid=jnp.array([True]),
+            ood_flags=jnp.zeros(4, bool), gk_chi_i=jnp.array([1e-12]),
+            surr_chi_i=jnp.array([7.0]))
+        assert report_to_dict(rep)["max_rel_error_chi_i"] == 0.0
+
+    def test_scan_carry_and_json(self, tmp_path):
+        import jax
+        from scpn_fusion_tpu.models.gyrokinetics.hybrid import (
+            init_report, report_add_step, report_to_json,
+        )
+
+        def step(rep, x):
+            rep = report_add_step(
+                rep, spot_valid=x > 0.5, ood_flags=jnp.zeros(4, bool),
+                gk_chi_i=jnp.ones(3), surr_chi_i=1.0 + x)
+            return rep, None
+
+        xs = jnp.abs(jnp.sin(jnp.arange(30.0)))[:, None] * jnp.ones((30, 3))
+        rep, _ = jax.lax.scan(step, init_report(), xs)
+        p = tmp_path / "report.json"
+        report_to_json(rep, p)
+        import json
+        d = json.loads(p.read_text())
+        assert d["total_steps"] == 30
+        assert 0.0 < d["verification_fraction"] <= 1.0
