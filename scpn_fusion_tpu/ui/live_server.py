@@ -198,11 +198,32 @@ class LiveSolveWorker(threading.Thread):
         return _psi_to_svg(psi).encode()
 
 
+# Browser security headers on every response (reference
+# ``ui/security_headers.py:17-33`` policy, applied to this stdlib server
+# instead of Streamlit's tornado hooks).  The dashboard is self-contained
+# (inline style/script, no external origins), so CSP locks everything to
+# 'self' and denies framing.
+SECURITY_HEADERS = (
+    ("Content-Security-Policy",
+     "default-src 'self'; base-uri 'self'; object-src 'none'; "
+     "frame-ancestors 'none'; img-src 'self' data: blob:; "
+     "style-src 'self' 'unsafe-inline'; "
+     "script-src 'self' 'unsafe-inline'; connect-src 'self'"),
+    ("Referrer-Policy", "no-referrer"),
+    ("X-Content-Type-Options", "nosniff"),
+    ("X-Frame-Options", "DENY"),
+)
+
+
 def make_server(worker: LiveSolveWorker, *, host: str = "127.0.0.1",
                 port: int = 8750) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _send_security_headers(self):
+            for name, value in SECURITY_HEADERS:
+                self.send_header(name, value)
 
         def do_GET(self):  # noqa: N802 - http.server API
             path = self.path.split("?")[0]
@@ -214,11 +235,13 @@ def make_server(worker: LiveSolveWorker, *, host: str = "127.0.0.1",
                 body, ctype = worker.psi_svg(), "image/svg+xml"
             else:
                 self.send_response(404)
+                self._send_security_headers()
                 self.end_headers()
                 return
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            self._send_security_headers()
             self.end_headers()
             self.wfile.write(body)
 

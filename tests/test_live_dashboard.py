@@ -83,6 +83,33 @@ class TestLiveServer:
             srv.server_close()
 
 
+    def test_security_headers_on_every_response(self):
+        """Reference ui/security_headers.py:17-33 policy on this server."""
+        import urllib.error
+        from scpn_fusion_tpu.ui.live_server import SECURITY_HEADERS
+
+        worker = LiveSolveWorker()
+        srv = make_server(worker, port=0)
+        import threading
+
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        port = srv.server_address[1]
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/", timeout=10) as r:
+                for name, value in SECURITY_HEADERS:
+                    assert r.headers.get(name) == value, name
+            assert dict(SECURITY_HEADERS)["X-Frame-Options"] == "DENY"
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/nope", timeout=10)
+            except urllib.error.HTTPError as e:
+                assert e.headers.get("X-Content-Type-Options") == "nosniff"
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+
 class TestSvgRender:
     def test_svg_shapes_and_range(self):
         rng = np.random.default_rng(0)
