@@ -271,8 +271,10 @@ def emit_studio_manifest(
                 "bytes": path.stat().st_size,
                 "sha256": hashlib.sha256(path.read_bytes()).hexdigest(),
             })
+    from scpn_fusion_tpu.ui.studio_verbs import capability_block
     manifest = {
         "schema": "scpn-fusion-tpu.studio-manifest.v1",
+        "capabilities": capability_block(),
         "n_entries": len(entries),
         "entries": entries,
     }
