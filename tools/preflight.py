@@ -24,7 +24,27 @@ def check(name: str, ok: bool, detail: str = "") -> bool:
     return ok
 
 
+def check_docs() -> bool:
+    """Internal-link check: relative markdown links must resolve."""
+    import re
+
+    ok = True
+    md_files = list(ROOT.glob("*.md")) + list((ROOT / "docs").glob("*.md"))
+    link_re = re.compile(r"\]\(([^)#:?\s]+)(?:#[^)]*)?\)")
+    for md in md_files:
+        for target in link_re.findall(md.read_text(encoding="utf-8")):
+            if target.startswith(("http", "mailto")):
+                continue
+            resolved = (md.parent / target).resolve()
+            if not resolved.exists():
+                ok = check(f"link {md.name} -> {target}", False)
+    return check("docs internal links", ok)
+
+
 def main() -> int:
+    if "--docs-only" in sys.argv:
+        return 0 if check_docs() else 1
+
     ok = True
 
     # 1. Package surface imports (catches syntax + circular-import rot).
@@ -81,6 +101,9 @@ def main() -> int:
     corpora = {p.name for p in (fuzz / "seeds").iterdir() if p.is_dir()}
     ok &= check("fuzz corpus completeness", targets == corpora,
                 f"targets={sorted(targets)} corpora={sorted(corpora)}")
+
+    # 6. Docs internal links.
+    ok &= check_docs()
 
     print("preflight:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
