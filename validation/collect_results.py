@@ -50,8 +50,64 @@ def _verify_checksums(reports: list[Path]) -> list[str]:
     return bad
 
 
+# Reports whose gates are anchored OUTSIDE this repo: published figures,
+# committed external-code outputs, digitised experimental data, or the
+# reference's own artifacts.  The score is the reference's
+# ``external_parity_score.py`` role: one number for "how much of this
+# framework is held to external truth".
+EXTERNAL_ANCHOR_REPORTS = (
+    "aurora_public", "torax_parity", "blind_demo", "slough_anchors",
+    "real_shot_accuracy", "equilibrium_parity", "implementation_parity",
+    "confinement_burn", "runaway_dream", "eped_tiers",
+    "quasi3d_contracts", "multi_machine", "gk_growth_rates",
+    "disruption_transfer", "physics_closures", "adjoint_fd",
+)
+
+
+def _write_external_parity_score() -> None:
+    """Aggregate external-anchor lanes into one scored evidence report."""
+    from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
+
+    n_pass = n_fail = n_blocked = 0
+    per_source = {}
+    missing = []
+    for stem in EXTERNAL_ANCHOR_REPORTS:
+        path = REPORTS / f"{stem}.json"
+        if not path.exists():
+            missing.append(stem)
+            continue
+        rep = json.loads(path.read_text())
+        statuses = [l["status"] for l in rep.get("lanes", [])]
+        per_source[stem] = {s: statuses.count(s)
+                            for s in ("pass", "fail", "blocked")}
+        n_pass += statuses.count("pass")
+        n_fail += statuses.count("fail")
+        n_blocked += statuses.count("blocked")
+    total = n_pass + n_fail + n_blocked
+    score = n_pass / total if total else 0.0
+    lane = LaneResult(
+        name="external_parity_score",
+        status="pass" if (n_fail == 0 and not missing and total > 0)
+        else ("blocked" if not missing else "fail"),
+        metrics={"score": round(score, 4), "lanes_pass": n_pass,
+                 "lanes_fail": n_fail, "lanes_blocked": n_blocked,
+                 "sources": len(per_source),
+                 **{f"{k}_pass_frac":
+                    round(v["pass"] / max(sum(v.values()), 1), 3)
+                    for k, v in per_source.items()}},
+        notes="score = externally-anchored lanes passing / total across "
+              f"{len(EXTERNAL_ANCHOR_REPORTS)} campaigns (published "
+              "figures, committed external-code outputs, digitised "
+              "experiments, reference artifacts); blocked lanes count "
+              "against the score, never as pass"
+              + (f"; MISSING sources: {missing}" if missing else ""))
+    write_report("external_parity_score", [lane], out_dir=REPORTS)
+
+
 def main() -> int:
     check = "--check" in sys.argv
+    if not check:
+        _write_external_parity_score()
     reports = sorted(REPORTS.glob("*.json"))
     if check:
         bad = _verify_checksums(reports)
