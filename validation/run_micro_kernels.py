@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Micro-kernel latency campaign: the Rust Criterion rows of BASELINE.md.
+
+Closes the last unevidenced BASELINE.md "Equilibrium solvers" rows — the
+reference's Rust single-core CPU micro-benchmarks (README.md "Key
+Results"; `cargo bench -p fusion-core --bench picard_bench` /
+`vacuum_bench`):
+
+  * full-order GS solve, 33²: 413 µs (SOR) / 845 µs (multigrid)
+  * vacuum field solve: 140 µs (33²) / 489 µs (65²)
+
+TPU-first counterparts (design note): a 33² grid is far below the MXU/VPU
+saturation point, so the single-solve number is a *latency floor*
+(sequential tiny kernels inside one `lax.while_loop`), not a throughput
+statement — the framework's native answer to "many small solves" is the
+vmapped batch program (`parallel/ensemble.py`), where one chip carries
+hundreds of converged 33² Picard solves per program.  Both datapoints are
+recorded: the honest single-solve latency AND the batched per-solve
+throughput that is this hardware's apples-to-apples answer to the Rust
+single-core row.
+
+All device times use the chained-k slope methodology
+(PERFORMANCE_METRIC_TAXONOMY.md): T(k_hi)-T(k_lo) over (k_hi-k_lo)
+chained, data-dependent repetitions inside ONE jitted program, which
+cancels the constant per-call tunnel RTT (~40-200 ms on the remote axon
+chip) that would otherwise swamp micro-kernel scales.
+
+Lanes (fail-closed):
+1. vacuum_field_33_65 — full vacuum solve (6-coil toroidal Green's
+   function table + contraction) at 33² and 65², gated to beat the Rust
+   rows (140 / 489 µs).
+2. gs_solve_33_batched_throughput — B=256 vmapped converged 33²
+   anderson_mg solves, per-solve amortised device time gated under the
+   faster Rust row (413 µs), all elements converged.
+3. gs_solve_33_single_latency — honest single-solve chained-slope device
+   time for the same converged solve, gated only on convergence + a
+   sanity ceiling; the Rust comparison numbers are recorded in the
+   metrics either way (beat-or-disclose, same stance as the EPED floor).
+"""
+
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+REF_VACUUM_33_US = 140.0   # BASELINE.md: Rust vacuum field solve, 33²
+REF_VACUUM_65_US = 489.0   # same row, 65²
+REF_GS33_SOR_US = 413.0    # BASELINE.md: Rust full-order GS solve, 33² SOR
+REF_GS33_MG_US = 845.0     # same row, multigrid
+
+
+def _make_cfg(n, max_iter=200):
+    from scpn_fusion_tpu.core.config import (
+        Coil, Dimensions, PhysicsParams, ReactorConfig, SolverParams,
+    )
+    coils = (
+        Coil(r=3.5, z=4.8, current=-1.0), Coil(r=8.0, z=4.8, current=4.0),
+        Coil(r=10.8, z=0.0, current=6.0), Coil(r=8.0, z=-4.8, current=4.0),
+        Coil(r=3.5, z=-4.8, current=-1.0), Coil(r=10.8, z=2.5, current=3.0),
+    )
+    return ReactorConfig(
+        reactor_name=f"micro-{n}",
+        grid_resolution=(n, n),
+        dimensions=Dimensions(R_min=2.0, R_max=10.0, Z_min=-4.0, Z_max=4.0),
+        coils=coils,
+        physics=PhysicsParams(plasma_current_target=15.0,
+                              vacuum_permeability=1.0),
+        solver=SolverParams(max_iterations=max_iter,
+                            convergence_threshold=1e-4,
+                            relaxation_factor=1.0,
+                            solver_method="anderson_mg", anderson_depth=4,
+                            inner_sweeps=1),
+    )
+
+
+def _slope_us(run, k_lo, k_hi, reps=5):
+    """Per-unit device time in µs by chained-count slope; run(k) must
+    execute k data-dependent repetitions inside one jitted program."""
+    for k in (k_lo, k_hi):
+        run(k)  # compile + warm both programs
+
+    def best(k):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(k)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return 1e6 * (best(k_hi) - best(k_lo)) / (k_hi - k_lo)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from scpn_fusion_tpu.core.grid import Grid
+    from scpn_fusion_tpu.models.equilibrium.vacuum import (
+        coil_arrays_from_config, vacuum_psi,
+    )
+    from scpn_fusion_tpu.parallel.ensemble import solve_equilibrium_batch
+    from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
+
+    lanes = []
+    backend = jax.default_backend()
+    dtype = jnp.float32
+
+    if backend != "tpu":
+        # Micro-latency rows are chip-specific statements; on a CPU runner
+        # the comparison vs the Rust single-core rows would be neither a
+        # beat nor a disclosure — blocked is the fail-closed state.
+        for name in ("vacuum_field_33_65", "gs_solve_33_batched_throughput",
+                     "gs_solve_33_single_latency"):
+            lanes.append(LaneResult(
+                name=name, status="blocked",
+                metrics={"backend": backend},
+                notes="no TPU visible in this interpreter; micro-kernel "
+                      "device-latency lanes run on the real chip only"))
+        path = write_report("micro_kernels", lanes)
+        print(f"wrote {path} (blocked: backend={backend})")
+        return 0
+
+    # ── Lane 1: vacuum field solve at 33² / 65² ──
+    vac_us = {}
+    for n in (33, 65):
+        cfg = _make_cfg(n)
+        grid = Grid.from_config(cfg, dtype=np.float32)
+        coil_r, coil_z, i_eff = coil_arrays_from_config(cfg, dtype)
+
+        @partial(jax.jit, static_argnames=("k",))
+        def chained_vac(i0, k, grid=grid, coil_r=coil_r, coil_z=coil_z):
+            def body(cur, _):
+                psi = vacuum_psi(grid, coil_r, coil_z, cur, 1.0)
+                # data dependency so XLA cannot collapse the chain
+                return cur * (1.0 + 1e-7 * jnp.mean(psi)), jnp.sum(psi)
+            _, sums = jax.lax.scan(body, i0, None, length=k)
+            return sums
+
+        def run(k, f=chained_vac, i0=i_eff):
+            np.asarray(f(i0, k))
+
+        vac_us[n] = _slope_us(run, 8, 64)
+
+    ok1 = vac_us[33] < REF_VACUUM_33_US and vac_us[65] < REF_VACUUM_65_US
+    lanes.append(LaneResult(
+        name="vacuum_field_33_65",
+        status="pass" if ok1 else "fail",
+        metrics={"device_us_33": round(vac_us[33], 2),
+                 "device_us_65": round(vac_us[65], 2),
+                 "reference_rust_us_33": REF_VACUUM_33_US,
+                 "reference_rust_us_65": REF_VACUUM_65_US,
+                 "speedup_33": round(REF_VACUUM_33_US /
+                                     max(vac_us[33], 1e-9), 1),
+                 "speedup_65": round(REF_VACUUM_65_US /
+                                     max(vac_us[65], 1e-9), 1),
+                 "backend": backend},
+        thresholds={"device_us_33": REF_VACUUM_33_US,
+                    "device_us_65": REF_VACUUM_65_US},
+        notes="full 6-coil toroidal Green's-function vacuum solve "
+              "(table build + contraction) per call, chained-slope "
+              "device time vs the Rust vacuum_bench rows (140/489 us, "
+              "single-core CPU Criterion)"))
+
+    # ── Lane 2: batched 33² converged-solve throughput ──
+    n = 33
+    cfg = _make_cfg(n)
+    grid = Grid.from_config(cfg, dtype=np.float32)
+    base = jnp.asarray([c.current for c in cfg.coils], dtype)
+    rng = np.random.default_rng(7)
+    B = 256
+    pert = 1.0 + 0.05 * jnp.asarray(
+        rng.standard_normal((B, base.shape[0])), dtype)
+    cur_b = base[None, :] * pert
+    tgt_b = jnp.full((B,), 15.0, dtype)
+
+    # correctness first: every element converges
+    psi_b, conv_b, iters_b = solve_equilibrium_batch(cfg, grid, cur_b, tgt_b)
+    all_conv = bool(np.all(np.asarray(conv_b)))
+    finite = bool(np.all(np.isfinite(np.asarray(psi_b))))
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chained_batch(cur0, k):
+        def body(cur, _):
+            psi, conv, iters = solve_equilibrium_batch.__wrapped__(
+                cfg, grid, cur, tgt_b)
+            checksum = jnp.sum(psi) + jnp.sum(iters.astype(dtype))
+            return cur * (1.0 + 1e-7 * jnp.mean(psi)), \
+                (checksum, jnp.all(conv))
+        _, (sums, convs) = jax.lax.scan(body, cur0, None, length=k)
+        return sums, convs
+
+    def run_batch(k):
+        sums, convs = chained_batch(cur_b, k)
+        np.asarray(sums)
+        assert bool(np.all(np.asarray(convs))), "chained batch diverged"
+
+    batch_step_us = _slope_us(run_batch, 1, 4, reps=3)
+    per_solve_us = batch_step_us / B
+    ok2 = all_conv and finite and per_solve_us < REF_GS33_SOR_US
+    lanes.append(LaneResult(
+        name="gs_solve_33_batched_throughput",
+        status="pass" if ok2 else "fail",
+        metrics={"per_solve_device_us_B256": round(per_solve_us, 2),
+                 "batch_step_us": round(batch_step_us, 1),
+                 "all_converged": all_conv,
+                 "iters_min": int(np.asarray(iters_b).min()),
+                 "iters_max": int(np.asarray(iters_b).max()),
+                 "reference_rust_sor_us": REF_GS33_SOR_US,
+                 "reference_rust_mg_us": REF_GS33_MG_US,
+                 "speedup_vs_sor": round(REF_GS33_SOR_US /
+                                         max(per_solve_us, 1e-9), 1),
+                 "backend": backend},
+        thresholds={"per_solve_device_us_B256": REF_GS33_SOR_US},
+        notes="B=256 vmapped converged 33^2 anderson_mg Picard solves "
+              "(randomised coil currents), chained-slope amortised "
+              "per-solve device time vs the Rust picard_bench single-core "
+              "rows (413 us SOR / 845 us multigrid) — the TPU-native "
+              "answer to many small solves is the batch program"))
+
+    # ── Lane 3: honest single-solve latency floor ──
+    @partial(jax.jit, static_argnames=("k",))
+    def chained_single(cur0, k):
+        def body(cur, _):
+            psi, conv, iters = solve_equilibrium_batch.__wrapped__(
+                cfg, grid, cur[None, :], tgt_b[:1])
+            return cur * (1.0 + 1e-7 * jnp.mean(psi)), \
+                (jnp.sum(psi), jnp.all(conv))
+        _, (sums, convs) = jax.lax.scan(body, cur0, None, length=k)
+        return sums, convs
+
+    def run_single(k):
+        sums, convs = chained_single(base, k)
+        np.asarray(sums)
+        assert bool(np.all(np.asarray(convs))), "chained single diverged"
+
+    single_us = _slope_us(run_single, 1, 8, reps=3)
+    beats_sor = single_us < REF_GS33_SOR_US
+    beats_mg = single_us < REF_GS33_MG_US
+    # sanity ceiling: a converged 33^2 solve must stay in the sub-10 ms
+    # latency-floor regime; the Rust comparison is recorded beat-or-disclose
+    ok3 = all_conv and single_us < 10_000.0
+    lanes.append(LaneResult(
+        name="gs_solve_33_single_latency",
+        status="pass" if ok3 else "fail",
+        metrics={"single_solve_device_us": round(single_us, 1),
+                 "reference_rust_sor_us": REF_GS33_SOR_US,
+                 "reference_rust_mg_us": REF_GS33_MG_US,
+                 "beats_rust_sor": beats_sor,
+                 "beats_rust_mg": beats_mg,
+                 "backend": backend},
+        thresholds={"single_solve_device_us": 10_000.0},
+        notes="chained-slope device latency of ONE converged 33^2 "
+              "anderson_mg solve — a latency floor (tiny sequential "
+              "kernels in a while_loop, far below MXU saturation), "
+              "recorded beat-or-disclose vs the Rust single-core rows; "
+              "the throughput lane above is the hardware-idiomatic "
+              "comparison"))
+
+    path = write_report("micro_kernels", lanes)
+    print(f"wrote {path}")
+    return 0 if all(l.status == "pass" for l in lanes) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
