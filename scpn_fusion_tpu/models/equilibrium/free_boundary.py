@@ -149,7 +149,7 @@ def _dummy_eq(grid: Grid, dtype, max_iter: int) -> EquilibriumResult:
     static_argnames=("cfg", "grid", "max_outer_iter", "tol", "optimize_shape",
                      "tikhonov_alpha", "mu0_green", "use_pallas",
                      "use_wall_response", "anderson_gram_f32",
-                     "mixed_n_refine"),
+                     "mixed_n_refine", "elliptic_fn"),
 )
 def _run_free_boundary(
     coils: CoilSet,
@@ -165,18 +165,24 @@ def _run_free_boundary(
     anderson_gram_f32: bool = False,
     use_wall_response: bool = False,
     mixed_n_refine: int = 0,
+    elliptic_fn=None,
 ) -> FreeBoundaryResult:
     dtype = coils.currents.dtype
     g_table = external_flux_table(grid, coils, mu0_green)
 
+    # Injected elliptic inner solve.  Two users: the mixed-precision
+    # refinement elliptic below, and the DISTRIBUTED Z-slab V-cycle
+    # (``parallel/sharded_fb.solve_free_boundary_sharded`` — the reference's
+    # distributed solve applies to its GS class generally,
+    # ``mpi_domain.rs:804``, so the free-boundary forward shards too).
+    elliptic_inj = elliptic_fn
     # Mixed-precision inner elliptic (f64 master iterate, f32 MG defect
     # correction — models/equilibrium/mixed_precision.py): the V-cycle is
     # ~90% of the inner solve's cost and runs in f32 (Pallas-eligible),
     # while the outer criterion, Green's boundary, topology and source stay
     # f64 — same convergence semantics as the full-f64 lane at near-f32
     # device cost.
-    elliptic_inj = None
-    if mixed_n_refine > 0:
+    if mixed_n_refine > 0 and elliptic_inj is None:
         from scpn_fusion_tpu.models.equilibrium.mixed_precision import (
             make_refinement_elliptic,
         )

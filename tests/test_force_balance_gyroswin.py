@@ -131,11 +131,23 @@ class TestGyroSwin:
         # ratio to ~2.8, and the claim under test is "surrogate beats
         # the proxy", not the idle-machine margin.
         best = 0.0
+        best_bench = None
         for _ in range(5):
             bench = run_speed_benchmark(samples=1024, iterations=20_000)
-            best = max(best, bench.speedup)
-            if best > 3.0:
+            if bench.speedup > best:
+                best, best_bench = bench.speedup, bench
+            if best > 2.0:              # early-break matches the assert
                 break
+        if best < 3.0:
+            # Below the contended-host envelope: keep the record visible so
+            # a genuine regression from the >5x idle margin can't hide
+            # behind the contention floor (ADVICE r4).
+            import warnings
+            warnings.warn(f"surrogate speedup {best:.2f}x is below the 3x "
+                          "contended-host envelope (idle-machine margin is "
+                          ">5x); investigate if this persists on an idle "
+                          "host", stacklevel=1)
         assert best > 2.0               # surrogate beats the proxy
-        assert bench.rmse_percent < 5.0
-        assert bench.surrogate_s_per_sample > 0.0
+        # rmse asserted on the SAME bench whose speedup is used.
+        assert best_bench.rmse_percent < 5.0
+        assert best_bench.surrogate_s_per_sample > 0.0

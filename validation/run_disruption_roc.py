@@ -5,16 +5,14 @@ Counterpart of the reference's ``validation/disruption_roc_analysis.py``
 (balanced synthetic batch over three precursor modes — ntm / density_limit
 / vde — threshold sweep, trapezoid AUC).  The repo's recall/FPR lane
 (``run_control_ladder.py`` lane 2) evaluates ONE operating point; this
-campaign characterises the whole operating curve on a noisier, harder
-cohort.  Lanes (fail-closed):
-
-1. roc_auc — alarm-threshold sweep over a held-out 48-shot cohort with
-   three precursor modes at randomised amplitude/onset and 4x the noise
-   of the ladder cohort; trapezoid AUC >= 0.95 and the curve dominates
-   chance (TPR >= FPR at every threshold).
-2. operating_point_warning_time — at the loosest threshold achieving
-   FPR = 0 (max recall at zero false alarms), recall >= 0.9 and the
-   median alarm lead time before end-of-shot is positive.
+campaign characterises the whole operating curve.  The report LEADS with
+the hard-cohort lanes (VERDICT r4 weak #7): the causal-transformer AUC on
+an overlapping held-out-config cohort where saturation is structurally
+impossible, and its bounded-FPR operating point.  The reference-design
+separable-cohort sweep (which saturates at AUC 1.0 by construction) is
+kept as APPENDIX runtime checks — they gate the alarm/threshold-sweep
+machinery, not the learning problem, and are named ``appendix_*`` so no
+aggregate counts them as a discriminative result.
 
 Writes checksummed JSON+MD evidence into validation/reports/.
 """
@@ -99,7 +97,7 @@ def main() -> int:
     dominates = bool(np.all(np.array(tprs) >= np.array(fprs) - 1e-12))
     ok1 = auc >= 0.95 and dominates
     lanes.append(LaneResult(
-        name="roc_auc",
+        name="appendix_separable_runtime_roc",
         status="pass" if ok1 else "fail",
         metrics={"auc": auc,
                  "thresholds": [float(x) for x in thresholds],
@@ -108,9 +106,11 @@ def main() -> int:
                  "cohort": {"n_test": int(test_shots.shape[0]),
                             "modes": sorted(set(test_modes) - {"safe"})}},
         thresholds={"auc": 0.95},
-        notes=("held-out 48-shot cohort, 3 precursor modes at randomised "
-               "amplitude/onset, 4x ladder noise; trapezoid AUC as in "
-               "the reference's disruption_roc_analysis.py"),
+        notes=("APPENDIX RUNTIME CHECK (not a discriminative result): the "
+               "reference-design cohort is separable by construction, so "
+               "AUC saturates at 1.0 — this lane gates the threshold-sweep "
+               "machinery only; the hard-cohort lanes above carry the "
+               "learning claim"),
     ))
 
     # ── Lane 2: loosest zero-false-positive operating point ──
@@ -125,7 +125,7 @@ def main() -> int:
             break
     if op is None:
         lanes.append(LaneResult(
-            name="operating_point_warning_time", status="fail",
+            name="appendix_separable_zero_fp_point", status="fail",
             notes="no threshold achieves FPR=0 with nonzero recall"))
     else:
         th, rec, fired, first = op
@@ -139,13 +139,14 @@ def main() -> int:
         med_lead = float(np.median(lead)) if lead else 0.0
         ok2 = rec >= 0.9 and med_lead > 0.0
         lanes.append(LaneResult(
-            name="operating_point_warning_time",
+            name="appendix_separable_zero_fp_point",
             status="pass" if ok2 else "fail",
             metrics={"threshold": th, "recall": rec, "fpr": 0.0,
                      "median_warning_ticks": med_lead,
                      "n_alarmed_disruptive": len(lead)},
             thresholds={"recall": 0.9, "median_warning_ticks": 0.0},
-            notes="loosest threshold with zero false positives",
+            notes=("APPENDIX RUNTIME CHECK: loosest threshold with zero "
+                   "false positives on the separable cohort"),
         ))
 
     # ── Lanes 3-4: HONEST hard-cohort lanes (VERDICT r3 #5 / weak #3).
@@ -233,6 +234,10 @@ def main() -> int:
                    "— lane 2 pins the clean-cohort runtime at recall 1.0)"),
         ))
 
+    # Report order: hard-cohort lanes lead, appendix runtime checks trail
+    # (VERDICT r4 weak #7 — the report must lead with the cohort that can
+    # actually fail).
+    lanes.sort(key=lambda ln: ln.name.startswith("appendix_"))
     write_report("disruption_roc", lanes)
     return 0 if all(ln.status == "pass" for ln in lanes
                     if ln.status != "blocked") else 1
