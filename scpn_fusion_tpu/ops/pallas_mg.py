@@ -371,8 +371,8 @@ def fine_presmooth_restrict(
         interpret=interpret,
     )(psi, source, ae, aw, omega_arr)
 
-    from scpn_fusion_tpu.ops.multigrid import _downsample_even
-    d_c = _downsample_even(w, nz_c, nr_c)
+    from scpn_fusion_tpu.ops.multigrid import downsample_even_mxu
+    d_c = downsample_even_mxu(w, nz_c, nr_c)
     # Boundary ring: the restricted defect is exactly zero there (the
     # kernel's wrap-around rolls pollute only the ring).
     iz = jax.lax.broadcasted_iota(jnp.int32, (nz_c, nr_c), 0)
@@ -405,13 +405,12 @@ def fine_prolong_smooth(
     ae, aw, a_ns, a_c = _fine_coeff_rows(r_1d, d_r, d_z, psi_s.dtype)
     omega_arr = jnp.asarray(omega, psi_s.dtype).reshape(1, 1)
 
-    # Embed the coarse error at stride 2 (zeros on the three odd phases) via
-    # the interleave trick — no strided scatter.
-    zeros_c = jnp.zeros_like(e_coarse)
-    row0 = jnp.stack([e_coarse, zeros_c], axis=-1)       # (nc, nc, 2)
-    row1 = jnp.stack([zeros_c, zeros_c], axis=-1)
-    t = jnp.stack([row0, row1], axis=1)                  # (nc, 2, nc, 2)
-    e_emb = t.reshape(2 * e_coarse.shape[0], 2 * e_coarse.shape[1])[:nz, :nr]
+    # Embed the coarse error at stride 2 (zeros on the three odd phases)
+    # via exact MXU selection scatter (see multigrid.upsample_even_mxu —
+    # the former stack/reshape interleave is a lane relayout that costs
+    # real time whenever the error is loop-varying).
+    from scpn_fusion_tpu.ops.multigrid import upsample_even_mxu
+    e_emb = upsample_even_mxu(e_coarse, nz, nr)
 
     kernel = functools.partial(
         _fine_post_kernel, nz=nz, nr=nr, a_ns=a_ns, a_c=a_c, post=post_smooth)

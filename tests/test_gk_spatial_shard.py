@@ -108,3 +108,65 @@ class TestSpatialShardedEvolution:
         per_dev = max(s.data.size * s.data.dtype.itemsize
                       for s in sh.f.addressable_shards)
         assert per_dev * 8 == total
+
+
+class TestKxKySharded3D:
+    """(sx, sy, v) = (kx, ky, mu) mesh (VERDICT r4 next #5): the kx axis
+    joins the decomposition, adding the radial-spectral all-to-all of the
+    pseudo-spectral bracket and the collective-permute of the ballooning
+    kx-twist to the collective contract."""
+
+    @pytest.mark.parametrize("shape", [(2, 2, 2), (4, 2, 1), (2, 4, 1)])
+    def test_state_parity_across_3d_meshes(self, shape):
+        from scpn_fusion_tpu.parallel.gk_shard import (
+            run_nonlinear_gk_spatial_sharded_3d, spatial_mesh_3d,
+        )
+        cfg = _cfg()
+        final_1, trace_1 = run_nonlinear_gk(cfg, seed=5)
+        mesh = spatial_mesh_3d(*shape)
+        final_s, trace_s = run_nonlinear_gk_spatial_sharded_3d(
+            cfg, mesh, seed=5)
+        scale = float(jnp.max(jnp.abs(final_1.f)))
+        dev = float(jnp.max(jnp.abs(final_s.f - final_1.f))) / scale
+        assert dev < 1e-10, f"mesh {shape}: f dev {dev:.2e}"
+        for a, b in zip(trace_1[1:], trace_s[1:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-13)
+
+    def test_em_two_species_3d(self):
+        from scpn_fusion_tpu.parallel.gk_shard import (
+            run_nonlinear_gk_spatial_sharded_3d, spatial_mesh_3d,
+        )
+        cfg = _cfg(n_species=2, kinetic_electrons=True,
+                   electromagnetic=True, beta_e=0.01, n_steps=4,
+                   save_interval=2)
+        final_1, _ = run_nonlinear_gk(cfg, seed=7)
+        mesh = spatial_mesh_3d(2, 2, 2)
+        final_s, _ = run_nonlinear_gk_spatial_sharded_3d(cfg, mesh, seed=7)
+        scale = float(jnp.max(jnp.abs(final_1.f)))
+        dev = float(jnp.max(jnp.abs(final_s.f - final_1.f))) / scale
+        assert dev < 1e-10
+
+    def test_divisibility_guards_3d(self):
+        from scpn_fusion_tpu.parallel.gk_shard import (
+            run_nonlinear_gk_spatial_sharded_3d, spatial_mesh_3d,
+        )
+        mesh = spatial_mesh_3d(4, 2, 1)
+        with pytest.raises(ValueError, match="n_kx.*not divisible"):
+            run_nonlinear_gk_spatial_sharded_3d(_cfg(n_kx=6), mesh)
+
+    def test_memory_scales_with_full_mesh(self):
+        """Per-device bytes shrink by the FULL mesh size — the
+        multi-chip-mandatory claim in measurable form."""
+        from scpn_fusion_tpu.parallel.gk_shard import (
+            per_device_state_bytes, shard_state_spatial_3d, spatial_mesh_3d,
+        )
+        cfg = _cfg()
+        g = build_grids(cfg)
+        state = init_state(cfg, g, seed=1)
+        mesh = spatial_mesh_3d(2, 2, 2)
+        sh = shard_state_spatial_3d(state, mesh)
+        ev = per_device_state_bytes(sh)
+        assert ev["n_shards"] == 8
+        assert ev["reduction_factor"] == 8.0
+        assert ev["bytes_per_device"] * 8 == ev["monolithic_bytes"]
