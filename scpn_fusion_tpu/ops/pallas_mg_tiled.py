@@ -145,6 +145,19 @@ def _chunk_plan(nz: int, t_rows: int) -> int:
     return -(-nz // t_rows)  # cdiv
 
 
+def _default_t_rows(nr: int) -> int:
+    """Chunk height scaled so one slab row-block stays ~0.5 MB: VMEM per
+    grid step is dominated by the (t_rows + 2H, NR) slab temporaries of
+    the red-black sweeps plus the pipeline's double-buffered body blocks;
+    128 rows fit at 1025 lanes but OOM at 2049 (measured 17.03M > 16M,
+    2026-08-20), so halve with width: 128 @ <=1152, 64 @ <=2304, 32 above.
+    """
+    t = 128
+    while t > 32 and t * nr * 4 > 600_000:
+        t //= 2
+    return t
+
+
 def _pad_and_strips(x: jnp.ndarray, n_chunks: int, t_rows: int, halo: int):
     """Zero-pad to ``n_chunks*t_rows`` rows and pre-slice the per-chunk
     (n_chunks, H, NR) top/bottom halo strips (one XLA gather each)."""
@@ -180,7 +193,7 @@ def tiled_presmooth_restrict(
     omega,
     *,
     pre_smooth: int = 3,
-    t_rows: int = 128,
+    t_rows: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Tiled fused fine-level down-leg: ``(psi_smoothed, d_coarse)``.
@@ -192,6 +205,8 @@ def tiled_presmooth_restrict(
     if interpret is None:
         interpret = not _on_tpu()
     nz, nr = psi.shape
+    if t_rows is None:
+        t_rows = _default_t_rows(nr)
     halo = 2 * pre_smooth + 2
     n_chunks = _chunk_plan(nz, t_rows)
     nz_c, nr_c = (nz + 1) // 2, (nr + 1) // 2
@@ -207,15 +222,22 @@ def tiled_presmooth_restrict(
     kernel = functools.partial(
         _tiled_pre_kernel, t_rows=t_rows, halo=halo, nz=nz, nr=nr,
         a_ns=a_ns, a_c=a_c, pre=pre_smooth)
-    psi_s, w = pl.pallas_call(
-        kernel,
-        grid=(n_chunks,),
-        out_shape=(jax.ShapeDtypeStruct((n_chunks * t_rows, nr), psi.dtype),
-                   jax.ShapeDtypeStruct((n_chunks * t_rows, nr), psi.dtype)),
-        in_specs=[body, strip, strip, body, strip, strip, rep, rep, sm],
-        out_specs=(body, body),
-        interpret=interpret,
-    )(p_body, p_top, p_bot, s_body, s_top, s_bot, ae, aw, omega_arr)
+    # Build + call under x64-disabled tracing: the grid index_maps'
+    # integer literals must stay i32 or Mosaic rejects the (i32, i64)
+    # block-index tuple when the HOST program runs under jax_enable_x64
+    # (mixed-precision 2049²/4097² lanes; same contract as @x64_safe).
+    with jax.enable_x64(False):
+        psi_s, w = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            out_shape=(jax.ShapeDtypeStruct((n_chunks * t_rows, nr),
+                                            psi.dtype),
+                       jax.ShapeDtypeStruct((n_chunks * t_rows, nr),
+                                            psi.dtype)),
+            in_specs=[body, strip, strip, body, strip, strip, rep, rep, sm],
+            out_specs=(body, body),
+            interpret=interpret,
+        )(p_body, p_top, p_bot, s_body, s_top, s_bot, ae, aw, omega_arr)
     psi_s = psi_s[:nz, :]
     w = w[:nz, :]
 
@@ -243,7 +265,7 @@ def tiled_prolong_smooth(
     omega,
     *,
     post_smooth: int = 3,
-    t_rows: int = 128,
+    t_rows: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Tiled fused fine-level up-leg: prolongation + correction +
@@ -252,6 +274,8 @@ def tiled_prolong_smooth(
     if interpret is None:
         interpret = not _on_tpu()
     nz, nr = psi_s.shape
+    if t_rows is None:
+        t_rows = _default_t_rows(nr)
     halo = 2 * post_smooth + 2
     n_chunks = _chunk_plan(nz, t_rows)
     ae, aw, a_ns, a_c = _fine_coeff_rows(r_1d, d_r, d_z, psi_s.dtype)
@@ -273,14 +297,17 @@ def tiled_prolong_smooth(
     kernel = functools.partial(
         _tiled_post_kernel, t_rows=t_rows, halo=halo, nz=nz, nr=nr,
         a_ns=a_ns, a_c=a_c, post=post_smooth)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_chunks,),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * t_rows, nr), psi_s.dtype),
-        in_specs=[body, strip, strip, body, strip, strip,
-                  body, strip, strip, rep, rep, sm],
-        out_specs=body,
-        interpret=interpret,
-    )(p_body, p_top, p_bot, s_body, s_top, s_bot,
-      e_body, e_top, e_bot, ae, aw, omega_arr)
+    # x64-disabled tracing: see the down-leg note (i32 index_map literals).
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            out_shape=jax.ShapeDtypeStruct((n_chunks * t_rows, nr),
+                                           psi_s.dtype),
+            in_specs=[body, strip, strip, body, strip, strip,
+                      body, strip, strip, rep, rep, sm],
+            out_specs=body,
+            interpret=interpret,
+        )(p_body, p_top, p_bot, s_body, s_top, s_bot,
+          e_body, e_top, e_bot, ae, aw, omega_arr)
     return out[:nz, :]

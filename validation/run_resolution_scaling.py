@@ -29,10 +29,16 @@ holds to 4.2M points:
    iteration must grow <= 2.5x from 513^2 to 1025^2 (O(N) multigrid;
    iteration-count drift is normalised out, bandwidth slack allowed).
 
-Pallas note: whole-grid VMEM-resident kernels cap out at <= 513^2-class
-sizes (psi+source+out > 12 MB above that); levels above the budget smooth
-via XLA (bandwidth-bound there anyway) while every level from 513^2 down
-keeps the fused kernels (``ops/multigrid.py:_vcycle_impl`` guard).
+Pallas note (round 5): fine levels ABOVE the whole-grid VMEM budget now
+run as TILED fused kernels (``ops/pallas_mg_tiled.py``: Z-chunked legs
+with redundant-compute halo strips) and the even-point transfer
+compaction runs as exact MXU selection matmuls
+(``ops/multigrid.downsample_even_mxu``/``upsample_even_mxu``) — measured
+1025^2 V-cycle 3.57 -> 0.70 ms, erasing the r4 1.85x per-point
+regression this campaign gates (VERDICT r4 next #2).
+
+5. ``capability_4097_mixed`` — stretch (VERDICT r4 #10): 16.8M points on
+   one chip, same mixed-precision protocol as 2049^2, k=1 vs 2 chained.
 
 Fail-closed: every lane computes real numbers on the real chip; a
 non-TPU environment blocks (does not pass) the device lanes.
@@ -74,7 +80,7 @@ def main() -> int:
     lanes = []
     if backend != "tpu":
         for name in ("anchor_513", "capability_1025", "capability_2049",
-                     "on_scaling"):
+                     "capability_4097", "on_scaling"):
             lanes.append(LaneResult(
                 name=name, status="blocked",
                 notes="TPU backend unavailable in this environment"))
@@ -195,15 +201,16 @@ def main() -> int:
     # 2049^2: mixed-precision fine level (pure f32 rides the iteration cap
     # here — see module docstring).  Slope-timed over chained full FMG
     # cascades with per-element Ip perturbations, k = 1 vs 3.
-    def measure_2049_mixed():
-        """Whole cascade (f32 coarse 129..1025 -> mixed 2049 fine) in ONE
+    def measure_mixed(n_fine, k_hi=3, reps=3):
+        """Whole cascade (f32 coarse 129..n_fine/2 -> mixed n_fine) in ONE
         jitted program, chained k solves under lax.scan (bench.py
         mixed_lane protocol — no host syncs between levels)."""
-        n_fine = 2049
         gs_thresh = 3e-5
         cfg = base_cfg(n_fine)
         sol = cfg.solver
-        levels = [129, 257, 513, 1025]
+        levels = [129]
+        while 2 * levels[-1] - 1 < n_fine:
+            levels.append(2 * levels[-1] - 1)
         grids32 = {m: Grid.from_config(
             dataclasses.replace(cfg, grid_resolution=(m, m)),
             dtype=np.float32) for m in levels}
@@ -269,7 +276,7 @@ def main() -> int:
             _, outs = jax.lax.scan(one, 0, targets)
             return outs
 
-        def wall(k, reps=3):
+        def wall(k, reps=reps):
             np.asarray(solve_chain(k)[0])
             ts = []
             for _ in range(reps):
@@ -279,9 +286,9 @@ def main() -> int:
             return min(ts) * 1e3
 
         t1 = wall(1)
-        t3 = wall(3)
-        _, iters, conv, gs_best = solve_chain(3)
-        device_ms = max((t3 - t1) / 2.0, 0.0)
+        t3 = wall(k_hi)
+        _, iters, conv, gs_best = solve_chain(k_hi)
+        device_ms = max((t3 - t1) / (k_hi - 1), 0.0)
         return {
             "device_ms": device_ms,
             "iters": [int(x) for x in np.asarray(iters)],
@@ -293,7 +300,7 @@ def main() -> int:
         }
 
     with jax.enable_x64(True):
-        m2049 = measure_2049_mixed()
+        m2049 = measure_mixed(2049, k_hi=3)
 
     ok = m513["all_converged"] and m513["device_ms"] > 0.0
     lanes.append(LaneResult(
@@ -369,12 +376,37 @@ def main() -> int:
               "the f64 residual criterion is the accuracy gate, "
               "DISCLOSED"))
 
+    # ── Stretch: 4097^2 mixed capability point (VERDICT r4 #10) ──
+    try:
+        with jax.enable_x64(True):
+            m4097 = measure_mixed(4097, k_hi=2, reps=2)
+        ok = (m4097["all_converged"] and m4097["device_ms"] > 0.0)
+        lanes.append(LaneResult(
+            name="capability_4097_mixed",
+            status="pass" if ok else "fail",
+            metrics={"device_per_solve_ms": round(m4097["device_ms"], 3),
+                     "fine_iterations": m4097["iters"],
+                     "ns_per_grid_point": round(m4097["ns_per_point"], 2),
+                     "gs_residual_best_f64": m4097["gs_residual_best"],
+                     "gs_threshold": m4097["gs_threshold"],
+                     "all_converged": m4097["all_converged"]},
+            thresholds={"all_converged": True,
+                        "criterion": "f64 GS-residual RMS < 3e-5 (dual "
+                        "with update-diff 1e-4)"},
+            notes="64x the headline's grid points (16.8M) on ONE chip, "
+                  "same mixed-precision residual-gated protocol as "
+                  "2049^2; k=1 vs 2 chained slope"))
+    except Exception as exc:  # noqa: BLE001 — capability stretch
+        lanes.append(LaneResult(
+            name="capability_4097_mixed", status="blocked",
+            notes=f"4097^2 mixed lane did not run: {exc!r}"[:500]))
+
     it513 = np.mean(m513["iters"])
     it1025 = np.mean(m1025["iters"])
     npp_iter_513 = m513["ns_per_point"] / max(it513, 1e-9)
     npp_iter_1025 = m1025["ns_per_point"] / max(it1025, 1e-9)
     r1 = npp_iter_1025 / max(npp_iter_513, 1e-9)
-    ok = 0.0 < r1 <= 2.5
+    ok = 0.0 < r1 <= 1.5
     lanes.append(LaneResult(
         name="on_scaling",
         status="pass" if ok else "fail",
@@ -385,10 +417,10 @@ def main() -> int:
                  "ns_per_point_1025": round(m1025["ns_per_point"], 2),
                  "ns_per_point_2049_mixed": round(m2049["ns_per_point"],
                                                   2)},
-        thresholds={"ratio_1025_over_513": "<= 2.5 per 4x points "
-                    "(O(N) multigrid per-iteration cost; ideal 1.0, "
-                    "slack for the Pallas->XLA smoother crossover above "
-                    "the 513^2 VMEM budget)"},
+        thresholds={"ratio_1025_over_513": "<= 1.5 per 4x points "
+                    "(O(N) multigrid per-iteration cost; ideal 1.0 — "
+                    "tightened from 2.5 after the tiled fine-level "
+                    "kernels + MXU transfer compaction landed, r5)"},
         notes="f32 device cost per grid point per fine-level iteration: "
               "the multigrid O(N) cost model holds on-chip through "
               "1025^2; the 2049^2 mixed figure is recorded alongside "
