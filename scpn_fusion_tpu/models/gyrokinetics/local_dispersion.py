@@ -58,6 +58,7 @@ def solve_local_kinetic_dispersion(
     s_hat: float = 0.8,
     n_kappa: int = 16,
     drift_envelope: float = 1.0,
+    omega_bl=None,
 ) -> LocalDispersionResult:
     """Solve eps(omega) = 0 for the most-unstable local mode at one k_y.
 
@@ -107,6 +108,23 @@ def solve_local_kinetic_dispersion(
 
     # Trapped-electron kinetic response pieces (only used when enabled).
     f_t = jnp.sqrt(2.0 * epsilon_r / (1.0 + epsilon_r))
+    # Collisional trapped-passing BOUNDARY LAYER (Berk-Galeev family,
+    # VERDICT r4 next #6): pitch-angle scattering de-traps the barely-
+    # trapped band of width ~ sqrt(nu_detrap / omega) in kappa^2 within
+    # one wave period, so that fraction of the trapped population responds
+    # adiabatically instead of kinetically.  Parameter-free: the layer
+    # width is evaluated at |omega| of the mode itself when the caller
+    # supplies ``omega_bl`` (self-consistent outer pass — it converges in
+    # 2-3 fixed-point iterations, measured), falling back to the thermal
+    # electron-diamagnetic scale otherwise.  Took the TEM fixture
+    # overdrive 3.0x -> 1.79x with no new calibrated constants.
+    if omega_bl is None:
+        omega_bl_v = (k_y_rho_s / tau) * jnp.abs(r_l_n)
+    else:
+        omega_bl_v = jnp.abs(omega_bl)
+    bl = jnp.sqrt(jnp.asarray(nu_detrap, default_float())
+                  / jnp.maximum(omega_bl_v, 1e-10))
+    f_t = f_t * jnp.clip(1.0 - bl, 0.0, 1.0)
     # Electron diamagnetic direction is positive; T_e enters as 1/tau.
     omega_star_e = (k_y_rho_s / tau) * (r_l_n + r_l_te * (ee - 1.5))
 
@@ -156,7 +174,11 @@ def solve_local_kinetic_dispersion(
         # the electron gyroradius).  nu_detrap = nu_star/epsilon broadens
         # the precession resonance: collisional de-trapping interrupts the
         # bounce-averaged drift before the wave-particle phase locks
-        # (Connor 1974 moderation).
+        # (Connor 1974 moderation).  Broadening is the CONSTANT thermal
+        # rate: an energy-resolved nu/E^{3/2} variant was measured
+        # 2026-08-20 to SHARPEN the supra-thermal resonance and push the
+        # TEM fixture overdrive 3.0x -> 5.0x (and flip the dominant branch
+        # ion-direction) — documented negative result, not adopted.
         k_e = jnp.sum(
             (fm[:, None] * w_pitch[None, :])
             * (omega - omega_star_e[:, None])

@@ -120,20 +120,32 @@ def main() -> int:
     #     frozen — the gate below fails if the model drifts.
     import math
 
+    # Round 5 (VERDICT r4 next #6): + the parameter-free collisional
+    # trapped-passing BOUNDARY LAYER — pitch scattering de-traps the
+    # barely-trapped band of width sqrt(nu/|omega|) per wave period, which
+    # responds adiabatically; |omega| is made self-consistent by 3 outer
+    # fixed-point passes (converges to 3 decimals, measured).  Overdrive
+    # 3.0x -> 1.79x with NO new calibrated constant (theta_w stays at its
+    # r4 value, frozen); an energy-resolved nu/E^1.5 broadening variant
+    # was tried and REJECTED on measurement (5.0x + branch flip).
     p = tem["input_parameters"]
     eps = p["rho_tor"] * p["a_minor_m"] / p["R_major_m"]
     nu_detrap = p["nu_ei_norm"] / eps
-    theta_w = 1.45                       # calibrated once at this fixture
+    theta_w = 1.45                       # calibrated once at this fixture (r4)
     envelope = math.exp(-0.5 * theta_w**2)
-    r = solve_local_kinetic_dispersion(
-        jnp.asarray(tem["tglf_output"]["ky_max_rho_s"]),
-        r_l_t=p["R_LT_i"], r_l_n=p["R_Ln_e"], tau=1.0 / p["T_e_T_i"],
-        q=p["q"], kinetic_electrons=True, r_l_te=p["R_LT_e"],
-        nu_detrap=nu_detrap, s_hat=p["s_hat"], drift_envelope=envelope)
+    kw = dict(r_l_t=p["R_LT_i"], r_l_n=p["R_Ln_e"], tau=1.0 / p["T_e_T_i"],
+              q=p["q"], kinetic_electrons=True, r_l_te=p["R_LT_e"],
+              nu_detrap=nu_detrap, s_hat=p["s_hat"],
+              drift_envelope=envelope)
+    ky_tem = jnp.asarray(tem["tglf_output"]["ky_max_rho_s"])
+    r = solve_local_kinetic_dispersion(ky_tem, **kw)
+    for _ in range(3):
+        om_abs = abs(complex(float(r.omega_r), float(r.gamma)))
+        r = solve_local_kinetic_dispersion(ky_tem, omega_bl=om_abs, **kw)
     gamma_tem = float(r.gamma) * r_over_a
     overdrive = gamma_tem / tem["tglf_output"]["gamma_max_cs_a"]
     ok3 = bool(r.converged) and float(r.omega_r) > 0.0 \
-        and 0.8 <= overdrive <= 3.5
+        and 0.8 <= overdrive <= 2.0
     lanes.append(LaneResult(
         name="tem_overdrive_quantified",
         status="pass" if ok3 else "fail",
@@ -142,15 +154,18 @@ def main() -> int:
                  "overdrive_factor": overdrive,
                  "omega_r_electron_direction": float(r.omega_r),
                  "nu_detrap_at_fixture": nu_detrap,
+                 "boundary_layer_omega_abs": om_abs,
                  "envelope_theta_w_rad": theta_w,
                  "drift_envelope": envelope,
-                 "pre_fix_overdrive_r3": 12.54},
-        thresholds={"overdrive_band": "[0.8, 3.5]"},
-        notes="bounce-averaged (pitch-resolved Connor-Hastie-Taylor "
-              "precession) trapped-electron response + single-point "
-              "envelope calibration: overdrive 12.5x (r3) -> "
-              f"{overdrive:.2f}x, electron-direction rotation gated; "
-              "gate tightened 20x -> 3.5x accordingly"))
+                 "pre_fix_overdrive_r3": 12.54,
+                 "pre_fix_overdrive_r4": 3.00},
+        thresholds={"overdrive_band": "[0.8, 2.0]"},
+        notes="pitch-resolved Connor-Hastie-Taylor precession + frozen r4 "
+              "envelope + NEW parameter-free collisional trapped-passing "
+              "boundary layer (self-consistent |omega|): overdrive 12.5x "
+              f"(r3) -> 3.0x (r4) -> {overdrive:.2f}x; electron-direction "
+              "rotation gated; band [0.8, 2.0] leaves failure headroom "
+              "above the achieved value instead of hugging it"))
 
     # ── Lane 4: critical-gradient structure ──
     rlts = [2.0, 4.0, 6.0, 8.0, 10.0, 12.0]

@@ -249,6 +249,113 @@ def main() -> int:
               "tile == monolithic invariant, mpi_domain.rs:804,1009); "
               "x64 CPU mesh"))
 
+    # ── Lane 6: sharded FREE-BOUNDARY forward (VERDICT r4 next #4) ──
+    # The coil-flux <-> inner-Picard predictive forward with the elliptic
+    # inner solve Z-slab-sharded (``parallel/sharded_fb.py``; the
+    # reference's distributed solve covers its GS class generally,
+    # ``mpi_domain.rs:804``): 1/2/4/8 shards must converge
+    # iteration-identically to the single-device free-boundary solve with
+    # span-rel parity.  129^2 here (the reference's own free-boundary
+    # resolution).
+    import dataclasses
+
+    from scpn_fusion_tpu.models.equilibrium.free_boundary import (
+        solve_free_boundary,
+    )
+    from scpn_fusion_tpu.parallel.sharded_fb import solve_free_boundary_sharded
+
+    cfg_fb = dataclasses.replace(cfg, grid_resolution=(129, 129))
+    fb_ref = solve_free_boundary(cfg_fb, max_outer_iter=12, tol=1e-5,
+                                 mu0_green=1.0, dtype=dtype)
+    pfb_ref = np.asarray(fb_ref.psi)
+    span_fb = float(pfb_ref.max() - pfb_ref.min())
+    per_fb = {}
+    ok6 = bool(fb_ref.converged)
+    max_dev_fb = 0.0
+    for n_sh in (1, 2, 4, 8):
+        fb = solve_free_boundary_sharded(
+            cfg_fb, mesh=make_z_mesh(n_sh), max_outer_iter=12, tol=1e-5,
+            mu0_green=1.0, dtype=dtype)
+        dev = float(np.max(np.abs(np.asarray(fb.psi) - pfb_ref))) / span_fb
+        max_dev_fb = max(max_dev_fb, dev)
+        per_fb[n_sh] = {"converged": bool(fb.converged),
+                        "outer_iterations": int(fb.outer_iterations)}
+        ok6 = (ok6 and bool(fb.converged)
+               and int(fb.outer_iterations) == int(fb_ref.outer_iterations))
+    gate_fb = 1e-8
+    lanes.append(LaneResult(
+        name="sharded_free_boundary_forward",
+        status="pass" if (ok6 and max_dev_fb < gate_fb) else "fail",
+        metrics={
+            "grid": "129x129",
+            "single_device_outer_iterations": int(fb_ref.outer_iterations),
+            "max_span_rel_dev_vs_single": max_dev_fb,
+            **{f"shards_{k}_outer_iterations": v["outer_iterations"]
+               for k, v in per_fb.items()},
+            **{f"shards_{k}_converged": v["converged"]
+               for k, v in per_fb.items()},
+        },
+        thresholds={"max_span_rel_dev_vs_single": gate_fb},
+        notes="free-boundary predictive forward (coil Green's boundary, "
+              "outer while_loop) with the inner elliptic Z-slab-sharded: "
+              "converges iteration-identically on 1/2/4/8 shards; x64 "
+              "CPU mesh"))
+
+    # ── Lane 7: GK kx x ky x mu spatial sharding at production-ish shape
+    # + per-device memory evidence (VERDICT r4 next #5).  The reference
+    # certifies its radial x toroidal tiling by tile == monolithic
+    # reductions at 1e-12 (``gk_domain_decomposition.py:25-144,594``);
+    # here the ENTIRE 5D evolution must match at that scale on a
+    # (sx, sy, v) mesh at 32x32x16x16x8 for 50 steps, and the
+    # addressable-shard byte counts substantiate the memory-scaling claim
+    # with measured numbers.
+    from scpn_fusion_tpu.models.gyrokinetics.nonlinear import (
+        NonlinearGKConfig, run_nonlinear_gk,
+    )
+    from scpn_fusion_tpu.parallel.gk_shard import (
+        per_device_state_bytes,
+        run_nonlinear_gk_spatial_sharded_3d,
+        spatial_mesh_3d,
+    )
+
+    gk_cfg = NonlinearGKConfig(
+        n_kx=32, n_ky=32, n_theta=16, n_vpar=16, n_mu=8,
+        n_steps=50, save_interval=25, nonlinear=True, collisions=True,
+        dtype="complex128")
+    gk_mesh = spatial_mesh_3d(2, 2, 2)
+    fin_1, tr_1 = run_nonlinear_gk(gk_cfg, seed=5)
+    fin_s, tr_s = run_nonlinear_gk_spatial_sharded_3d(gk_cfg, gk_mesh,
+                                                      seed=5)
+    scale = float(np.max(np.abs(np.asarray(fin_1.f))))
+    dev_gk = float(np.max(np.abs(np.asarray(fin_s.f)
+                                 - np.asarray(fin_1.f)))) / scale
+    mem = per_device_state_bytes(fin_s)
+    trace_dev = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        / max(float(np.max(np.abs(np.asarray(a)))), 1e-300)
+        for a, b in zip(tr_1[1:], tr_s[1:]))
+    ok7 = (dev_gk < 1e-12 and trace_dev < 1e-9
+           and mem["reduction_factor"] == 8.0)
+    lanes.append(LaneResult(
+        name="gk_shard_memory",
+        status="pass" if ok7 else "fail",
+        metrics={
+            "shape": "S2 x 32kx x 32ky x 16th x 16vpar x 8mu, 50 steps",
+            "mesh": "(sx, sy, v) = (2, 2, 2)",
+            "state_rel_dev_tile_vs_monolithic": dev_gk,
+            "trace_rel_dev_max": trace_dev,
+            "monolithic_state_bytes": mem["monolithic_bytes"],
+            "bytes_per_device": mem["bytes_per_device"],
+            "memory_reduction_factor": mem["reduction_factor"],
+        },
+        thresholds={"state_rel_dev_tile_vs_monolithic": 1e-12,
+                    "memory_reduction_factor": 8.0},
+        notes="production-shape 5D GK evolution on the full (kx, ky, mu) "
+              "mesh: tile == monolithic at 1e-12 (f64, the reference's "
+              "own invariant scale) over 50 nonlinear collisional steps; "
+              "per-device bytes measured from addressable shards — the "
+              "multi-chip-mandatory claim as numbers, not assertion"))
+
     path = write_report("sharded_convergence", lanes)
     print(f"wrote {path}")
     return 0 if all(lane.status == "pass" for lane in lanes) else 1
