@@ -35,17 +35,65 @@ SLOW = {
 PER_CAMPAIGN_TIMEOUT_S = 3600   # resolution_scaling compiles 2049^2 programs
 
 
+def _flag_value(argv: list[str], flag: str) -> float | None:
+    for i, a in enumerate(argv):
+        if a == flag and i + 1 < len(argv):
+            return float(argv[i + 1])
+        if a.startswith(flag + "="):
+            return float(a.split("=", 1)[1])
+    return None
+
+
+def _head_sha() -> str:
+    out = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True, cwd=HERE)
+    return out.stdout.strip() if out.returncode == 0 else "unknown"
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
+    # --reuse-at-head: incremental evidence — a campaign whose committed
+    # report already carries the CURRENT HEAD sha with a pass/blocked
+    # status is counted without re-executing (same single-SHA contract;
+    # the reused campaigns are listed explicitly in the summary).
+    reuse = "--reuse-at-head" in sys.argv
+    # --deadline-s N: stop LAUNCHING campaigns once N seconds of wall
+    # have elapsed; already-running ones finish.  Not-run campaigns are
+    # listed explicitly — the summary never silently claims coverage.
+    deadline_s = _flag_value(sys.argv, "--deadline-s")
+    head = _head_sha()
     scripts = sorted(p for p in HERE.glob("run_*.py")
                      if p.name != "run_all.py")
     if quick:
         scripts = [p for p in scripts if p.name not in SLOW]
 
     rows = []
+    reused: list[str] = []
+    not_run: list[str] = []
     t0 = time.monotonic()
     for script in scripts:
         name = script.stem.removeprefix("run_")
+        if reuse:
+            report = REPORTS / f"{name}.json"
+            try:
+                payload = json.loads(report.read_text())
+            except (OSError, json.JSONDecodeError):
+                payload = {}
+            if (payload.get("git_sha") == head
+                    and payload.get("overall_status") in ("pass", "blocked")):
+                rows.append({
+                    "campaign": name, "rc": 0, "wall_s": 0.0,
+                    "overall": payload["overall_status"],
+                    "lanes": {ln["name"]: ln["status"]
+                              for ln in payload.get("lanes", [])},
+                    "stderr_tail": [], "reused_at_head": True})
+                reused.append(name)
+                print(f"[{payload['overall_status']:>7}] {name} "
+                      f"(reused report at HEAD {head})", flush=True)
+                continue
+        if deadline_s is not None and time.monotonic() - t0 > deadline_s:
+            not_run.append(name)
+            continue
         start = time.monotonic()
         try:
             proc = subprocess.run(
@@ -78,8 +126,13 @@ def main() -> int:
     summary = {
         "schema": "scpn-fusion-tpu.full-pipeline.v1",
         "quick": quick,
+        "git_sha": head,
         "n_campaigns": len(rows),
         "n_failed": len(failed),
+        "n_reused_at_head": len(reused),
+        "reused_at_head": reused,
+        "n_not_run_deadline": len(not_run),
+        "not_run_deadline": not_run,
         "total_wall_s": round(time.monotonic() - t0, 1),
         "campaigns": rows,
     }
@@ -98,8 +151,13 @@ def main() -> int:
         print("FAILED campaigns:",
               ", ".join(r["campaign"] for r in failed))
         return 1
+    if not_run:
+        print(f"{len(rows)} campaigns pass ({len(reused)} reused at HEAD); "
+              f"{len(not_run)} NOT RUN (deadline): {', '.join(not_run)}")
+        return 0
     print(f"all {len(rows)} campaigns pass "
-          f"({summary['total_wall_s']:.0f}s total)")
+          f"({len(reused)} reused at HEAD; "
+          f"{summary['total_wall_s']:.0f}s total)")
     return 0
 
 

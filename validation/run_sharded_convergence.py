@@ -59,6 +59,7 @@ def main() -> int:
     from scpn_fusion_tpu.utils.evidence import LaneResult, write_report
 
     lanes = []
+    T_START = time.monotonic()
     n_devices = len(jax.devices())
     if n_devices < 8:
         lanes.append(LaneResult(
@@ -130,6 +131,8 @@ def main() -> int:
               "criterion) on 1/2/4/8-shard Z-slab meshes with identical "
               "outer-iteration count; x64 CPU mesh"))
 
+    print("[sharded_convergence] lane1 done "
+          f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 2: residual-gated distributed linear solve at 513^2 ──
     grid = Grid.from_bounds(n, n, 2.0, 10.0, -4.0, 4.0, dtype=np.float64)
     rr, zz = np.asarray(grid.RR), np.asarray(grid.ZZ)
@@ -166,6 +169,8 @@ def main() -> int:
               "(8-shard mesh, 513^2 manufactured problem) — the gated-"
               "convergence counterpart of mpi_domain.rs:804"))
 
+    print("[sharded_convergence] lane2 done "
+          f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 3: scaling shape (honest: virtual mesh, no speedup claim) ──
     lanes.append(LaneResult(
         name="sharded_scaling_shape_513",
@@ -176,6 +181,8 @@ def main() -> int:
               "virtual CPU mesh — program-shape evidence only; real-chip "
               "perf is bench.py's lane"))
 
+    print("[sharded_convergence] lane3 done "
+          f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 4: distributed FMG cascade (nested-iteration warm starts) ──
     from scpn_fusion_tpu.parallel.sharded_solve import (
         solve_equilibrium_sharded_fmg,
@@ -199,6 +206,8 @@ def main() -> int:
               "(coarse levels at 1e-3, fine at the configured tol): the "
               "distributed counterpart of the bench FMG cascade"))
 
+    print("[sharded_convergence] lane4 done "
+          f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 5: convergent 2D-tile distributed solve (VERDICT r3 next #3) ──
     # The full nonlinear equilibrium with the elliptic inner solve 2D-tiled
     # (reference CartesianTile decomposition, ``mpi_domain.rs:380-739``,
@@ -249,6 +258,8 @@ def main() -> int:
               "tile == monolithic invariant, mpi_domain.rs:804,1009); "
               "x64 CPU mesh"))
 
+    print("[sharded_convergence] lane5_tile2d done "
+          f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 6: sharded FREE-BOUNDARY forward (VERDICT r4 next #4) ──
     # The coil-flux <-> inner-Picard predictive forward with the elliptic
     # inner solve Z-slab-sharded (``parallel/sharded_fb.py``; the
@@ -301,6 +312,8 @@ def main() -> int:
               "converges iteration-identically on 1/2/4/8 shards; x64 "
               "CPU mesh"))
 
+    print("[sharded_convergence] lane6_fb done "
+          f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 7: GK kx x ky x mu spatial sharding at production-ish shape
     # + per-device memory evidence (VERDICT r4 next #5).  The reference
     # certifies its radial x toroidal tiling by tile == monolithic
@@ -356,6 +369,7 @@ def main() -> int:
               "per-device bytes measured from addressable shards — the "
               "multi-chip-mandatory claim as numbers, not assertion"))
 
+    print(f"[sharded_convergence] all lanes done (t={time.monotonic() - T_START:.0f}s)", flush=True)
     path = write_report("sharded_convergence", lanes)
     print(f"wrote {path}")
     return 0 if all(lane.status == "pass" for lane in lanes) else 1
