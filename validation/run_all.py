@@ -94,11 +94,18 @@ def main() -> int:
         if deadline_s is not None and time.monotonic() - t0 > deadline_s:
             not_run.append(name)
             continue
+        # Under a deadline, a launched campaign may not run past the
+        # deadline + a 600 s grace — subprocess.run kills it on expiry,
+        # so no child outlives the pipeline budget.
+        cap = PER_CAMPAIGN_TIMEOUT_S
+        if deadline_s is not None:
+            cap = min(cap, max(60.0,
+                               t0 + deadline_s + 600.0 - time.monotonic()))
         start = time.monotonic()
         try:
             proc = subprocess.run(
                 [sys.executable, str(script)], capture_output=True,
-                text=True, timeout=PER_CAMPAIGN_TIMEOUT_S)
+                text=True, timeout=cap)
             rc = proc.returncode
             err_tail = proc.stderr.strip().splitlines()[-1:] if rc else []
         except subprocess.TimeoutExpired:
