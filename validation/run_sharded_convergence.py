@@ -131,6 +131,7 @@ def main() -> int:
               "criterion) on 1/2/4/8-shard Z-slab meshes with identical "
               "outer-iteration count; x64 CPU mesh"))
 
+    write_report("sharded_convergence", lanes)
     print("[sharded_convergence] lane1 done "
           f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 2: residual-gated distributed linear solve at 513^2 ──
@@ -169,6 +170,7 @@ def main() -> int:
               "(8-shard mesh, 513^2 manufactured problem) — the gated-"
               "convergence counterpart of mpi_domain.rs:804"))
 
+    write_report("sharded_convergence", lanes)
     print("[sharded_convergence] lane2 done "
           f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 3: scaling shape (honest: virtual mesh, no speedup claim) ──
@@ -181,6 +183,7 @@ def main() -> int:
               "virtual CPU mesh — program-shape evidence only; real-chip "
               "perf is bench.py's lane"))
 
+    write_report("sharded_convergence", lanes)
     print("[sharded_convergence] lane3 done "
           f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 4: distributed FMG cascade (nested-iteration warm starts) ──
@@ -206,6 +209,7 @@ def main() -> int:
               "(coarse levels at 1e-3, fine at the configured tol): the "
               "distributed counterpart of the bench FMG cascade"))
 
+    write_report("sharded_convergence", lanes)
     print("[sharded_convergence] lane4 done "
           f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 5: convergent 2D-tile distributed solve (VERDICT r3 next #3) ──
@@ -258,6 +262,7 @@ def main() -> int:
               "tile == monolithic invariant, mpi_domain.rs:804,1009); "
               "x64 CPU mesh"))
 
+    write_report("sharded_convergence", lanes)
     print("[sharded_convergence] lane5_tile2d done "
           f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 6: sharded FREE-BOUNDARY forward (VERDICT r4 next #4) ──
@@ -312,6 +317,7 @@ def main() -> int:
               "converges iteration-identically on 1/2/4/8 shards; x64 "
               "CPU mesh"))
 
+    write_report("sharded_convergence", lanes)
     print("[sharded_convergence] lane6_fb done "
           f"(t={time.monotonic() - T_START:.0f}s)", flush=True)
     # ── Lane 7: GK kx x ky x mu spatial sharding at production-ish shape
@@ -331,9 +337,20 @@ def main() -> int:
         spatial_mesh_3d,
     )
 
+    # Measured cost caveat (2026-08-20): at the full 32x32x16x16x8 / 50-step
+    # spec the SHARDED complex128 evolution runs ~20x the monolithic wall on
+    # the 8-VIRTUAL-device CPU mesh (virtual devices share host cores, and
+    # the shard_map FFT-transpose collectives serialise) — >70 min total,
+    # beyond an in-round wall budget.  SCPN_GK_SHARD_STEPS lets a bounded
+    # run certify the same shape with fewer steps; the full spec remains
+    # the default for CI/long-budget runs.  Real ICI-connected chips do not
+    # share this serialisation (the memory lane's reduction factor is
+    # shape-analytic and step-count-independent).
+    gk_steps = int(os.environ.get("SCPN_GK_SHARD_STEPS", "50"))
     gk_cfg = NonlinearGKConfig(
         n_kx=32, n_ky=32, n_theta=16, n_vpar=16, n_mu=8,
-        n_steps=50, save_interval=25, nonlinear=True, collisions=True,
+        n_steps=gk_steps, save_interval=max(1, gk_steps // 2),
+        nonlinear=True, collisions=True,
         dtype="complex128")
     gk_mesh = spatial_mesh_3d(2, 2, 2)
     fin_1, tr_1 = run_nonlinear_gk(gk_cfg, seed=5)
@@ -353,7 +370,7 @@ def main() -> int:
         name="gk_shard_memory",
         status="pass" if ok7 else "fail",
         metrics={
-            "shape": "S2 x 32kx x 32ky x 16th x 16vpar x 8mu, 50 steps",
+            "shape": f"S2 x 32kx x 32ky x 16th x 16vpar x 8mu, {gk_steps} steps",
             "mesh": "(sx, sy, v) = (2, 2, 2)",
             "state_rel_dev_tile_vs_monolithic": dev_gk,
             "trace_rel_dev_max": trace_dev,
