@@ -57,6 +57,14 @@ def main() -> int:
     # status is counted without re-executing (same single-SHA contract;
     # the reused campaigns are listed explicitly in the summary).
     reuse = "--reuse-at-head" in sys.argv
+    # --reuse-shas a,b,c: widen reuse to an EXPLICIT sha window (e.g. the
+    # evidence commits of one session, where the only intervening diffs
+    # are committed reports themselves).  Every reused row records which
+    # sha its report carries — the window is disclosed, never implied.
+    extra_shas: set[str] = set()
+    for i, a in enumerate(sys.argv):
+        if a == "--reuse-shas" and i + 1 < len(sys.argv):
+            extra_shas = {s.strip() for s in sys.argv[i + 1].split(",")}
     # --deadline-s N: stop LAUNCHING campaigns once N seconds of wall
     # have elapsed; already-running ones finish.  Not-run campaigns are
     # listed explicitly — the summary never silently claims coverage.
@@ -79,17 +87,19 @@ def main() -> int:
                 payload = json.loads(report.read_text())
             except (OSError, json.JSONDecodeError):
                 payload = {}
-            if (payload.get("git_sha") == head
+            sha = payload.get("git_sha")
+            if (sha in ({head} | extra_shas)
                     and payload.get("overall_status") in ("pass", "blocked")):
                 rows.append({
                     "campaign": name, "rc": 0, "wall_s": 0.0,
                     "overall": payload["overall_status"],
                     "lanes": {ln["name"]: ln["status"]
                               for ln in payload.get("lanes", [])},
-                    "stderr_tail": [], "reused_at_head": True})
+                    "stderr_tail": [], "reused_at_head": True,
+                    "reused_sha": sha})
                 reused.append(name)
                 print(f"[{payload['overall_status']:>7}] {name} "
-                      f"(reused report at HEAD {head})", flush=True)
+                      f"(reused report at {sha})", flush=True)
                 continue
         if deadline_s is not None and time.monotonic() - t0 > deadline_s:
             not_run.append(name)

@@ -119,11 +119,17 @@ def main() -> int:
             return out
 
         run = jax.jit(chained, static_argnums=1)
-        k_lo, k_hi = 1, 64
+        # At ~3 us/call a K=64 chain (~0.2 ms device) is below tunnel-RTT
+        # jitter and the slope can come out negative (measured 2026-08-20:
+        # -0.021 ms).  K=1024 puts ~3 ms of device work in the long
+        # program so the slope denominator dominates the jitter, and the
+        # median of 3 independent slopes rejects residual outliers
+        # (ADVICE r4 #4 methodology).
+        k_lo, k_hi = 1, 1024
         for k in (k_lo, k_hi):
             run(x_tpu, k).block_until_ready()   # warm both programs
 
-        def best_of(k, n=7):
+        def best_of(k, n=5):
             best = np.inf
             for _ in range(n):
                 t0 = time.perf_counter()
@@ -131,7 +137,9 @@ def main() -> int:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        slope_ms = (best_of(k_hi) - best_of(k_lo)) / (k_hi - k_lo) * 1e3
+        slopes = sorted((best_of(k_hi) - best_of(k_lo)) / (k_hi - k_lo)
+                        * 1e3 for _ in range(3))
+        slope_ms = slopes[1]
         ok3 = 0.0 <= slope_ms < REF_MEAN_MS
         lanes.append(LaneResult(
             name="inference_latency_tpu",
