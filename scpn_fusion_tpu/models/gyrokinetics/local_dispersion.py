@@ -40,7 +40,8 @@ class LocalDispersionResult(NamedTuple):
     converged: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("vgrid", "n_iter", "kinetic_electrons"))
+@partial(jax.jit, static_argnames=("vgrid", "n_iter", "kinetic_electrons",
+                                   "passing_landau"))
 def solve_local_kinetic_dispersion(
     k_y_rho_s,
     *,
@@ -59,6 +60,8 @@ def solve_local_kinetic_dispersion(
     n_kappa: int = 16,
     drift_envelope: float = 1.0,
     omega_bl=None,
+    passing_landau: bool = False,
+    mass_ratio: float = 3670.5,   # m_D / m_e (deuterium plasma)
 ) -> LocalDispersionResult:
     """Solve eps(omega) = 0 for the most-unstable local mode at one k_y.
 
@@ -183,7 +186,30 @@ def solve_local_kinetic_dispersion(
             (fm[:, None] * w_pitch[None, :])
             * (omega - omega_star_e[:, None])
             / (omega - omega_de + 1j * (nu_detrap + 1e-12)))
-        return 1.0 + (1.0 - f_t) / tau + (f_t / tau) * (1.0 - k_e) - i_val
+        if not passing_landau:
+            return (1.0 + (1.0 - f_t) / tau + (f_t / tau) * (1.0 - k_e)
+                    - i_val)
+        # Passing-electron parallel (Landau) response — parameter-free
+        # mass-ratio physics replacing the pure-adiabatic passing term:
+        #   (1 - f_t)/tau  ->  ((1 - f_t)/tau) (1 - K_p(omega)),
+        #   K_p = <F_M (omega - omega_*e(E)) / (omega -+ k_par v_par_e)>
+        # with v_par_e = v_par sqrt(m_i/m_e) (electron transit on the SAME
+        # (E, lambda) grid; both transit signs averaged).  As
+        # k_par v_te -> inf, K_p -> 0 and the adiabatic limit is exact;
+        # at drift-wave frequencies the resonance v_par ~ omega/k_par sits
+        # in the electron Maxwellian core and carries the classic
+        # i sqrt(pi) (omega - omega_*e)/(k_par v_te) non-adiabatic piece
+        # (universal-mode drive / Landau damping, sign decided by
+        # omega_*e/omega — measured, not asserted).
+        # v_e = sqrt(2 E xi^2) v_te with E in T_e units; v_te/c_s =
+        # sqrt(m_i/m_e) exactly (both speeds carry T_e).
+        v_par_e = v_par * jnp.sqrt(jnp.asarray(mass_ratio, default_float()))
+        num_p = omega - omega_star_e
+        k_p = 0.5 * jnp.sum(
+            fm * num_p * (1.0 / (omega - k_par * v_par_e + 1e-12j)
+                          + 1.0 / (omega + k_par * v_par_e + 1e-12j)))
+        return (1.0 + ((1.0 - f_t) / tau) * (1.0 - k_p)
+                + (f_t / tau) * (1.0 - k_e) - i_val)
 
     # Robust MOST-UNSTABLE root find.  The dispersion function has several
     # roots (drift branches, weakly-damped continuum remnants); a single

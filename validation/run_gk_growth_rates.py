@@ -133,10 +133,16 @@ def main() -> int:
     nu_detrap = p["nu_ei_norm"] / eps
     theta_w = 1.45                       # calibrated once at this fixture (r4)
     envelope = math.exp(-0.5 * theta_w**2)
+    # + (round 5, second pass) the parameter-free PASSING-electron Landau
+    # response (mass-ratio physics: the passing adiabatic term becomes
+    # (f_p/tau)(1 - K_p) with the electron transit resonance on the same
+    # velocity grid) — measured 1.787 -> 1.746 here; small because
+    # omega_*e/omega ~ 1 leaves the universal-mode drive and Landau
+    # damping nearly cancelling at this fixture.
     kw = dict(r_l_t=p["R_LT_i"], r_l_n=p["R_Ln_e"], tau=1.0 / p["T_e_T_i"],
               q=p["q"], kinetic_electrons=True, r_l_te=p["R_LT_e"],
               nu_detrap=nu_detrap, s_hat=p["s_hat"],
-              drift_envelope=envelope)
+              drift_envelope=envelope, passing_landau=True)
     ky_tem = jnp.asarray(tem["tglf_output"]["ky_max_rho_s"])
     r = solve_local_kinetic_dispersion(ky_tem, **kw)
     for _ in range(3):
@@ -145,7 +151,7 @@ def main() -> int:
     gamma_tem = float(r.gamma) * r_over_a
     overdrive = gamma_tem / tem["tglf_output"]["gamma_max_cs_a"]
     ok3 = bool(r.converged) and float(r.omega_r) > 0.0 \
-        and 0.8 <= overdrive <= 2.0
+        and 0.8 <= overdrive <= 1.9
     lanes.append(LaneResult(
         name="tem_overdrive_quantified",
         status="pass" if ok3 else "fail",
@@ -158,8 +164,9 @@ def main() -> int:
                  "envelope_theta_w_rad": theta_w,
                  "drift_envelope": envelope,
                  "pre_fix_overdrive_r3": 12.54,
-                 "pre_fix_overdrive_r4": 3.00},
-        thresholds={"overdrive_band": "[0.8, 2.0]"},
+                 "pre_fix_overdrive_r4": 3.00,
+                 "pre_passing_landau_overdrive_r5": 1.787},
+        thresholds={"overdrive_band": "[0.8, 1.9]"},
         notes="pitch-resolved Connor-Hastie-Taylor precession + frozen r4 "
               "envelope + NEW parameter-free collisional trapped-passing "
               "boundary layer (self-consistent |omega|): overdrive 12.5x "
