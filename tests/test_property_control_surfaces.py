@@ -423,10 +423,13 @@ class TestBatchedElementParitySweep:
 
         psi_b, conv_b, iters_b = solve_equilibrium_batch(
             cfg, grid, batch, i_t)
-        assert bool(np.all(np.asarray(conv_b)))
         psi_1, conv_1, iters_1 = solve_equilibrium_batch(
             cfg, grid, batch[elem:elem + 1], i_t[elem:elem + 1])
-        assert bool(np.asarray(conv_1)[0])
+        # The invariant holds CONVERGED OR NOT: an element that runs out
+        # of iterations in the batch must run out identically standalone
+        # (same trajectory, same verdict) — extreme random i_targets DO
+        # produce non-convergent draws, and they must agree too.
+        assert bool(np.asarray(conv_b)[elem]) == bool(np.asarray(conv_1)[0])
         span = float(jnp.max(psi_b[elem]) - jnp.min(psi_b[elem]))
         dev = float(jnp.max(jnp.abs(psi_b[elem] - psi_1[0]))) / span
         assert dev < 1e-12, (dev, seed, b, elem)
